@@ -1,0 +1,276 @@
+"""Flat-key YAML configuration, schema-compatible with the reference.
+
+The reference reads ~45 flat YAML keys through YamlHelper
+(/root/reference/legkilo/src/common/yaml_helper.hpp) from configs like
+legkilo/config/leg_fusion.yaml.  We keep the exact key names so reference
+config files load unchanged, and validate them into typed dataclasses.
+
+TPU-specific keys (all optional, prefixed ``tpu_``) control static shapes of
+the compiled rollout: bucket/point padding, hash-table capacities, dtype.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional
+
+try:
+    import yaml  # type: ignore
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover - pyyaml is available in this image
+    _HAVE_YAML = False
+
+
+@dataclasses.dataclass
+class EskfConfig:
+    """Noise/cov parameters (ESKF::Config, eskf.h:49-65)."""
+
+    vel_process_cov: float = 20.0
+    imu_acc_process_cov: float = 500.0
+    imu_gyr_process_cov: float = 1000.0
+    contact_process_cov: float = 20.0
+    acc_bias_process_cov: float = 0.001
+    gyr_bias_process_cov: float = 0.001
+    kin_bias_process_cov: float = 0.001
+
+    imu_acc_meas_noise: float = 0.1
+    imu_acc_z_meas_noise: float = 1.0
+    imu_gyr_meas_noise: float = 0.01
+    kin_meas_noise: float = 0.1
+    chd_meas_noise: float = 0.1
+    contact_meas_noise: float = 0.001
+    lidar_point_meas_ratio: float = 10.0
+
+
+@dataclasses.dataclass
+class VoxelMapConfig:
+    """Voxel-map parameters (VoxelMapConfig, voxel_map.h:41-57)."""
+
+    max_layer: int = 2
+    voxel_size: float = 0.5
+    min_eigen_value: float = 0.01  # "planner_threshold" in the reference
+    sigma_num: float = 3.0
+    beam_err: float = 0.2
+    dept_err: float = 0.04
+    layer_init_num: List[int] = dataclasses.field(default_factory=lambda: [5, 5, 5, 5, 5])
+    max_points_num: int = 50
+    map_sliding_en: bool = False
+    half_map_size: int = 100
+    sliding_thresh: float = 8.0
+    pub_plane_en: bool = False
+
+    # TPU-native: per-level hash table capacity (power of two) and probe depth.
+    capacity_log2: int = 16
+    probe_length: int = 8
+
+
+@dataclasses.dataclass
+class KinematicsConfig:
+    """Leg geometry + contact thresholds (Kinematics::Config, kinematics.h:27-35)."""
+
+    leg_offset_x: float = 0.1881
+    leg_offset_y: float = 0.04675
+    leg_calf_length: float = 0.213
+    leg_thigh_length: float = 0.213
+    leg_thigh_offset: float = 0.08
+    contact_force_threshold_up: float = 220.0
+    contact_force_threshold_down: float = 200.0
+
+
+@dataclasses.dataclass
+class LidarConfig:
+    """LiDAR decode parameters (LidarProcessing::Config, lidar_processing.h:74-90)."""
+
+    lidar_type: int = 1  # 1=velodyne, 2=ouster, 3=hesai (sensor_types.hpp:34)
+    time_scale: float = 1.0
+    blind: float = 1.5
+    filter_num: int = 3
+    point_stamp_correct: bool = True
+    voxel_grid_resolution: float = 0.3
+
+
+@dataclasses.dataclass
+class TpuConfig:
+    """Static-shape / compilation knobs (no reference equivalent)."""
+
+    max_buckets: int = 64          # padded 2ms time-buckets per scan
+    max_points_per_bucket: int = 128
+    max_imu_per_bucket: int = 4    # padded IMU/kin event slots preceding a bucket
+    requantize_buckets: bool = True  # snap post-downsample times back to 2ms grid
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class Config:
+    """Top-level config mirroring the flat YAML schema."""
+
+    # Topics (used by the bag reader)
+    lidar_topic: str = "/points_raw"
+    imu_topic: str = "/imu_raw"
+    kinematic_topic: str = "/high_state"
+
+    # Mode switches (options.{h,cc})
+    only_imu_use: bool = True
+    redundancy: bool = True
+
+    # Initialization
+    init_time: float = 0.05
+    gravity: float = 9.81
+
+    # Extrinsics (IMU <- LiDAR)
+    extrinsic_T: List[float] = dataclasses.field(default_factory=lambda: [0.0, 0.0, 0.2])
+    extrinsic_R: List[float] = dataclasses.field(
+        default_factory=lambda: [1, 0, 0, 0, 1, 0, 0, 0, 1]
+    )
+
+    eskf: EskfConfig = dataclasses.field(default_factory=EskfConfig)
+    voxel_map: VoxelMapConfig = dataclasses.field(default_factory=VoxelMapConfig)
+    kinematics: KinematicsConfig = dataclasses.field(default_factory=KinematicsConfig)
+    lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
+    tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+
+    # Output options
+    save_traj_enable: bool = False
+    save_pcd_enable: bool = False
+    pcd_frames_per_file: int = 100
+    pcd_voxel_leaf_size: float = 0.1
+    pub_joint_tf_enable: bool = False
+
+    # Saturation (present in reference configs; reserved)
+    satu_acc: float = 35.0
+    satu_gyr: float = 30.0
+
+
+_ESKF_KEYS = {f.name for f in dataclasses.fields(EskfConfig)}
+_KIN_KEYS = {f.name for f in dataclasses.fields(KinematicsConfig)}
+_LIDAR_KEYS = {f.name for f in dataclasses.fields(LidarConfig)}
+_VOXEL_KEY_MAP = {
+    "max_layer": "max_layer",
+    "voxel_size": "voxel_size",
+    "min_eigen_value": "min_eigen_value",
+    "sigma_num": "sigma_num",
+    "beam_err": "beam_err",
+    "dept_err": "dept_err",
+    "layer_init_num": "layer_init_num",
+    "max_points_num": "max_points_num",
+    "map_sliding_en": "map_sliding_en",
+    "half_map_size": "half_map_size",
+    "sliding_thresh": "sliding_thresh",
+    "pub_plane_en": "pub_plane_en",
+    "tpu_map_capacity_log2": "capacity_log2",
+    "tpu_map_probe_length": "probe_length",
+}
+_TPU_KEY_MAP = {
+    "tpu_max_buckets": "max_buckets",
+    "tpu_max_points_per_bucket": "max_points_per_bucket",
+    "tpu_max_imu_per_bucket": "max_imu_per_bucket",
+    "tpu_requantize_buckets": "requantize_buckets",
+    "tpu_dtype": "dtype",
+}
+
+
+def _coerce(value: Any, target: Any) -> Any:
+    if isinstance(target, bool):
+        if isinstance(value, str):
+            return value.strip().lower() in ("true", "1", "yes", "on")
+        return bool(value)
+    if isinstance(target, int) and not isinstance(target, bool):
+        return int(value)
+    if isinstance(target, float):
+        return float(value)
+    return value
+
+
+def from_dict(flat: Dict[str, Any]) -> Config:
+    """Build a Config from a flat key->value dict (the YAML layout)."""
+    cfg = Config()
+    unknown = []
+    for key, value in flat.items():
+        if key in _ESKF_KEYS:
+            setattr(cfg.eskf, key, _coerce(value, getattr(cfg.eskf, key)))
+        elif key in _KIN_KEYS:
+            setattr(cfg.kinematics, key, _coerce(value, getattr(cfg.kinematics, key)))
+        elif key in _LIDAR_KEYS:
+            setattr(cfg.lidar, key, _coerce(value, getattr(cfg.lidar, key)))
+        elif key in _VOXEL_KEY_MAP:
+            attr = _VOXEL_KEY_MAP[key]
+            setattr(cfg.voxel_map, attr, _coerce(value, getattr(cfg.voxel_map, attr)))
+        elif key in _TPU_KEY_MAP:
+            attr = _TPU_KEY_MAP[key]
+            setattr(cfg.tpu, attr, _coerce(value, getattr(cfg.tpu, attr)))
+        elif hasattr(cfg, key):
+            setattr(cfg, key, _coerce(value, getattr(cfg, key)))
+        else:
+            unknown.append(key)
+    if unknown:
+        import logging
+
+        logging.getLogger(__name__).warning("Unknown config keys ignored: %s", unknown)
+    validate(cfg)
+    return cfg
+
+
+def load(path: str) -> Config:
+    """Load a reference-format YAML config file.
+
+    Parity: YamlHelper (yaml_helper.hpp:27-69) — flat keys, with defaults for
+    missing optional keys and errors for malformed values.
+    """
+    if _HAVE_YAML:
+        with open(path, "r") as f:
+            flat = yaml.safe_load(f) or {}
+    else:
+        flat = _parse_flat_yaml(path)
+    if not isinstance(flat, dict):
+        raise ValueError(f"Config file {path} did not parse to a mapping")
+    return from_dict(flat)
+
+
+def _parse_flat_yaml(path: str) -> Dict[str, Any]:
+    """Minimal flat YAML parser fallback (scalars and [a, b, c] lists)."""
+    out: Dict[str, Any] = {}
+    with open(path, "r") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, raw = line.partition(":")
+            raw = raw.strip()
+            if not raw:
+                continue
+            out[key.strip()] = _parse_scalar(raw)
+    return out
+
+
+def _parse_scalar(raw: str) -> Any:
+    if raw.startswith("[") and raw.endswith("]"):
+        return [_parse_scalar(x.strip()) for x in raw[1:-1].split(",") if x.strip()]
+    low = raw.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        if any(c in raw for c in ".eE") and not raw.isdigit():
+            return float(raw)
+        return int(raw)
+    except ValueError:
+        return raw.strip("'\"")
+
+
+def validate(cfg: Config) -> None:
+    vm = cfg.voxel_map
+    if vm.max_layer < 0 or vm.max_layer > 4:
+        raise ValueError(f"max_layer must be in [0, 4], got {vm.max_layer}")
+    if len(vm.layer_init_num) < vm.max_layer + 1:
+        raise ValueError("layer_init_num must have at least max_layer+1 entries")
+    if vm.voxel_size <= 0:
+        raise ValueError("voxel_size must be positive")
+    if not math.log2(1 << vm.capacity_log2).is_integer():  # always true; guards type
+        raise ValueError("capacity_log2 invalid")
+    if len(cfg.extrinsic_R) != 9 or len(cfg.extrinsic_T) != 3:
+        raise ValueError("extrinsic_R must have 9 entries and extrinsic_T 3")
+    if cfg.lidar.lidar_type not in (1, 2, 3):
+        raise ValueError(f"lidar_type must be 1|2|3, got {cfg.lidar.lidar_type}")
+    if cfg.lidar.filter_num < 1:
+        raise ValueError("filter_num must be >= 1")

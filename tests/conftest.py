@@ -1,0 +1,30 @@
+"""Test harness: force an 8-virtual-device CPU platform.
+
+The driver benches on one real TPU chip; tests run everywhere on a faked
+8-device CPU mesh (the standard JAX substitute for multi-chip CI — see
+SURVEY.md §4d).
+
+Note: this image registers a TPU PJRT plugin from sitecustomize and forces
+``jax_platforms="axon,cpu"`` — a plain JAX_PLATFORMS env var is overridden,
+so we must re-force CPU via jax.config *before any backend initializes*.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
