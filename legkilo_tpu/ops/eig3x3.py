@@ -93,8 +93,24 @@ def _eigvec(A: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
         ..., 0, :
     ]
     nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    # Fully degenerate (spherical) case: any unit vector is an eigenvector.
-    v = jnp.where(nrm > _EPS, v / jnp.maximum(nrm, _EPS), jnp.zeros_like(v).at[..., 0].set(1.0))
+
+    # Degenerate fallbacks.  If all row crosses vanish, lam has multiplicity
+    # >= 2 and the eigenspace is the orthogonal complement of the largest row
+    # of M (rank-1 case); if M itself vanishes, any unit vector works.
+    rn = jnp.stack(
+        [jnp.sum(r0 * r0, -1), jnp.sum(r1 * r1, -1), jnp.sum(r2 * r2, -1)], axis=-1
+    )
+    rbest = jnp.take_along_axis(
+        M, jnp.argmax(rn, -1)[..., None, None].repeat(3, -1), axis=-2
+    )[..., 0, :]
+    rbest_n = jnp.linalg.norm(rbest, axis=-1, keepdims=True)
+    # Scale-relative thresholds so large/small matrices behave alike.
+    scale = jnp.maximum(jnp.max(rn, axis=-1, keepdims=True), _EPS)
+    plane_fallback = _any_orthogonal(rbest / jnp.maximum(rbest_n, _EPS))
+    sphere_fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+    fallback = jnp.where(rbest_n > _EPS, plane_fallback, sphere_fallback)
+    good_cross = nrm * nrm > 1e-12 * scale * scale
+    v = jnp.where(good_cross, v / jnp.maximum(nrm, _EPS), fallback)
     return v
 
 
