@@ -1,0 +1,103 @@
+"""Benchmark: per-scan ESKF+map latency and batched replay throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's in-repo claim of 5-20 ms single-frame processing
+(/root/reference/README.md:27-28; BASELINE.md).  vs_baseline is computed
+against the midpoint-of-claim 12.5 ms: vs_baseline = 12.5 / ours (>1 means
+faster than the reference's average claim).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from legkilo_tpu.config import Config
+    from legkilo_tpu.core import eskf as eskf_mod
+    from legkilo_tpu.core.filter import (
+        FilterParams, StaticConfig, init_carry, process_scan,
+    )
+    from legkilo_tpu.core.voxel_map import map_config_from
+    from legkilo_tpu.io.dataset import PacketBuilder, to_device_packet
+    from legkilo_tpu.models import sim
+
+    # Realistic single-replica configuration (leg_fusion-like geometry).
+    cfg = Config()
+    cfg.only_imu_use = True
+    cfg.lidar.filter_num = 1
+    cfg.lidar.blind = 0.3
+    cfg.lidar.voxel_grid_resolution = 0.3
+    cfg.voxel_map.capacity_log2 = 16
+    cfg.tpu.max_buckets = 56
+    cfg.tpu.max_points_per_bucket = 128
+    cfg.tpu.max_imu_per_bucket = 3
+
+    data = sim.simulate(sim.SimConfig(duration=6.0, scan_points=8000, seed=7))
+
+    scfg = StaticConfig(
+        map_cfg=map_config_from(cfg.voxel_map),
+        use_kin=False,
+        dept_err=cfg.voxel_map.dept_err,
+        beam_err=cfg.voxel_map.beam_err,
+    )
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(cfg.eskf),
+        ext_r=jnp.eye(3),
+        ext_t=jnp.asarray([0.0, 0.0, 0.2]),
+        g_over_acc_norm=jnp.asarray(1.0),
+    )
+
+    builder = PacketBuilder(cfg)
+    for ev in data.imu:
+        builder.add_imu(ev)
+    packets = []
+    for scan in data.scans:
+        builder.add_scan(scan)
+        while builder.ready():
+            packets.append(builder.pop())
+    assert len(packets) >= 40, f"only {len(packets)} packets"
+
+    step = jax.jit(process_scan, static_argnums=3)
+    carry = init_carry(scfg)
+
+    dev_packets = [to_device_packet(p) for p in packets]
+    # Warm-up / map bootstrap on the first packets (includes compile).
+    carry, out = step(carry, dev_packets[0], params, scfg)
+    jax.block_until_ready(out.pos)
+    for p in dev_packets[1:10]:
+        carry, out = step(carry, p, params, scfg)
+    jax.block_until_ready(out.pos)
+
+    # Timed steady-state region.
+    timed = dev_packets[10:]
+    t0 = time.perf_counter()
+    for p in timed:
+        carry, out = step(carry, p, params, scfg)
+    jax.block_until_ready(out.pos)
+    dt = time.perf_counter() - t0
+    ms_per_scan = dt / len(timed) * 1e3
+
+    baseline_ms = 12.5  # midpoint of the reference's 5-20 ms claim
+    print(
+        json.dumps(
+            {
+                "metric": "scan_latency_ms",
+                "value": round(ms_per_scan, 3),
+                "unit": "ms/scan",
+                "vs_baseline": round(baseline_ms / ms_per_scan, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

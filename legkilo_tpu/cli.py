@@ -1,0 +1,235 @@
+"""Command-line interface: `python -m legkilo_tpu run|sweep|sim|bench`.
+
+Replaces the reference's ROS node + launch files (src/apps/leg_kilo_node.cc,
+legkilo/launch/*.launch):
+
+  run    — replay a .bag (or .npz scan dump) through the filter, writing a
+           TUM trajectory and optional PCD map export.
+  sim    — run the synthetic world end-to-end and report ATE vs ground truth.
+  sweep  — Monte-Carlo fleet replay of the simulator across all local
+           devices (noise-parameter perturbations per replica).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+import numpy as np
+
+from . import config as config_mod
+from .utils.timing import Timer
+
+log = logging.getLogger("legkilo_tpu")
+
+
+def _load_config(path: str | None) -> config_mod.Config:
+    return config_mod.load(path) if path else config_mod.Config()
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from .io import rosbag as bag_mod
+    from .io.dataset import ImuEvent
+    from .io.tum import TrajectoryWriter
+    from .models import lidar as lidar_mod
+    from .models.unitree import HighState, Kinematics
+    from .runner import OdometryRunner
+
+    cfg = _load_config(args.config_file)
+    runner = OdometryRunner(cfg, return_cloud=bool(args.save_pcd))
+    kin = Kinematics(cfg.kinematics)
+    writer = TrajectoryWriter(args.traj_out) if args.traj_out else None
+    pcd = None
+    if args.save_pcd:
+        from .io.pcd import PcdSaver
+
+        pcd = PcdSaver(
+            directory=args.save_pcd,
+            frames_per_file=cfg.pcd_frames_per_file,
+            leaf_size=cfg.pcd_voxel_leaf_size,
+        )
+
+    n_msgs = 0
+    t0 = time.perf_counter()
+    with bag_mod.BagReader(args.bag) as reader:
+        topics = [cfg.lidar_topic, cfg.imu_topic, cfg.kinematic_topic]
+        for msg in reader.messages(topics):
+            n_msgs += 1
+            if msg.topic == cfg.lidar_topic:
+                with Timer.measure("Lidar Processing"):
+                    scan = lidar_mod.decode(bag_mod.parse_pointcloud2(msg.raw), cfg.lidar)
+                results = runner.add_scan(scan)
+            elif msg.topic == cfg.imu_topic and cfg.only_imu_use:
+                imu = bag_mod.parse_imu(msg.raw)
+                results = runner.add_imu(
+                    ImuEvent(time=imu.stamp, acc=imu.linear_acceleration,
+                             gyr=imu.angular_velocity)
+                )
+            elif msg.topic == cfg.kinematic_topic and not cfg.only_imu_use:
+                hs = bag_mod.parse_high_state(msg.raw)
+                results = runner.add_kin_imu(
+                    kin.processing(HighState(
+                        stamp=hs.stamp, accelerometer=hs.accelerometer,
+                        gyroscope=hs.gyroscope, motor_q=hs.motor_q,
+                        motor_dq=hs.motor_dq, foot_force=hs.foot_force,
+                    ))
+                )
+            else:
+                continue
+            for r in results:
+                if r.n_points:
+                    log.info(
+                        "scan t=%.3f pos=(%.3f %.3f %.3f) matched %d/%d (%.0f%%)",
+                        r.time, *r.pos, r.n_matched, r.n_points,
+                        100.0 * r.n_matched / max(r.n_points, 1),
+                    )
+                if writer:
+                    writer.write(r.time, r.rot, r.pos)
+                if pcd is not None and r.cloud_world is not None:
+                    pcd.save(r.cloud_world.reshape(-1, 3))
+    if writer:
+        writer.close()
+    if pcd is not None:
+        pcd.close()
+    wall = time.perf_counter() - t0
+    log.info("Replayed %d messages, %d scans in %.1fs", n_msgs, len(runner.results), wall)
+    Timer.log_all_average_time()
+    return 0
+
+
+def cmd_sim(args: argparse.Namespace) -> int:
+    from .io.tum import TrajectoryWriter, ate_rmse
+    from .models import sim as sim_mod
+    from .runner import run_offline
+
+    cfg = _load_config(args.config_file)
+    cfg.lidar.filter_num = 1
+    cfg.lidar.blind = 0.3
+    data = sim_mod.simulate(
+        sim_mod.SimConfig(duration=args.duration, scan_points=args.scan_points)
+    )
+    events = data.imu if cfg.only_imu_use else data.kin
+    t0 = time.perf_counter()
+    results = run_offline(cfg, data.scans, events)
+    wall = time.perf_counter() - t0
+
+    est_t = np.array([r.time for r in results])
+    est_p = np.stack([r.pos for r in results])
+    _, gt_pos_f = data.gt_in_filter_frame()
+    gtm = {round(t, 6): i for i, t in enumerate(data.gt_times)}
+    sel = [i for i, t in enumerate(est_t) if round(t, 6) in gtm]
+    idx = [gtm[round(est_t[i], 6)] for i in sel]
+    err = ate_rmse(est_p[sel], gt_pos_f[idx], align=False)
+    if args.traj_out:
+        with TrajectoryWriter(args.traj_out) as w:
+            for r in results:
+                w.write(r.time, r.rot, r.pos)
+    per_scan_ms = wall / max(len(results), 1) * 1e3
+    print(json.dumps({
+        "scans": len(results), "ate_rmse_m": round(err, 4),
+        "wall_s": round(wall, 2), "ms_per_scan": round(per_scan_ms, 2),
+    }))
+    Timer.log_all_average_time()
+    return 0
+
+
+def cmd_sweep(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .core import eskf as eskf_mod
+    from .core.filter import FilterParams, StaticConfig
+    from .core.voxel_map import map_config_from
+    from .io.dataset import PacketBuilder, to_device_packet
+    from .models import sim as sim_mod
+    from .parallel.mesh import make_mesh, shard_batch
+    from .parallel.sweep import (
+        batched_carry, broadcast_packets, make_fleet_step, perturb_params,
+    )
+
+    cfg = _load_config(args.config_file)
+    cfg.only_imu_use = True
+    cfg.lidar.filter_num = 1
+    cfg.lidar.blind = 0.3
+    data = sim_mod.simulate(sim_mod.SimConfig(duration=args.duration))
+    builder = PacketBuilder(cfg)
+    for ev in data.imu:
+        builder.add_imu(ev)
+    packets = []
+    for scan in data.scans:
+        builder.add_scan(scan)
+        while builder.ready():
+            packets.append(builder.pop())
+
+    scfg = StaticConfig(
+        map_cfg=map_config_from(cfg.voxel_map),
+        use_kin=False,
+        dept_err=cfg.voxel_map.dept_err,
+        beam_err=cfg.voxel_map.beam_err,
+    )
+    ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float32).reshape(3, 3)
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(cfg.eskf),
+        ext_r=jnp.asarray(ext_r),
+        ext_t=jnp.asarray(cfg.extrinsic_T, dtype=jnp.float32),
+        g_over_acc_norm=jnp.asarray(float(cfg.gravity / np.linalg.norm(data.mean_acc))),
+    )
+    mesh = make_mesh()
+    B = args.replicas or len(jax.devices())
+    carry = shard_batch(batched_carry(scfg, B), mesh)
+    bparams = shard_batch(perturb_params(params, B, scale=args.noise_scale), mesh)
+    step = make_fleet_step(scfg, mesh=mesh)
+
+    t0 = time.perf_counter()
+    stats = None
+    for pkt in packets:
+        dev = shard_batch(broadcast_packets(to_device_packet(pkt), B), mesh)
+        carry, out, stats = step(carry, dev, bparams)
+    jax.block_until_ready(stats)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "replicas": B, "devices": len(jax.devices()), "scans": len(packets),
+        "wall_s": round(wall, 2),
+        "replica_scans_per_s": round(B * len(packets) / wall, 1),
+        "final_spread_m": float(stats.pos_spread),
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname).1s %(name)s: %(message)s"
+    )
+    ap = argparse.ArgumentParser(prog="legkilo_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="replay a rosbag")
+    p_run.add_argument("--config_file", required=True)
+    p_run.add_argument("--bag", required=True)
+    p_run.add_argument("--traj_out", default=None)
+    p_run.add_argument("--save_pcd", default=None, help="PCD output directory")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_sim = sub.add_parser("sim", help="synthetic end-to-end replay")
+    p_sim.add_argument("--config_file", default=None)
+    p_sim.add_argument("--duration", type=float, default=5.0)
+    p_sim.add_argument("--scan_points", type=int, default=4000)
+    p_sim.add_argument("--traj_out", default=None)
+    p_sim.set_defaults(fn=cmd_sim)
+
+    p_sw = sub.add_parser("sweep", help="Monte-Carlo fleet replay")
+    p_sw.add_argument("--config_file", default=None)
+    p_sw.add_argument("--duration", type=float, default=3.0)
+    p_sw.add_argument("--replicas", type=int, default=None)
+    p_sw.add_argument("--noise_scale", type=float, default=0.1)
+    p_sw.set_defaults(fn=cmd_sweep)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

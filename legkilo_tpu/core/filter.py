@@ -1,0 +1,338 @@
+"""Per-scan filter rollout: the KILO orchestrator as a single jitted scan.
+
+Capability parity with /root/reference/legkilo/src/core/slam/KILO.cc
+re-designed for XLA's compilation model:
+
+* The reference walks variable-length 2 ms time-buckets with interleaved
+  IMU/kinematic events in host C++ (KILO.cc:373-395).  Here a scan is
+  preprocessed host-side (io/dataset.py) into a fixed-shape ``ScanPacket``
+  — [n_buckets, pts_per_bucket] padded points plus up to ``kmax`` masked
+  IMU/kin event slots per bucket — and the whole predict/update/map-update
+  chain runs as one ``jax.lax.scan`` over buckets inside jit.  Masked slots
+  are exact no-ops (dt = 0 propagation, zero-gain updates), so the rollout
+  is fully regular and vmap-able over Monte-Carlo replicas.
+* Dual-clock bookkeeping matches KILO.cc:110-115: the covariance propagates
+  from the last *update* time while the mean propagates from the last
+  *predict* time; both are carried as device scalars relative to the scan
+  begin and rebased between scans.
+* Per-bucket LiDAR update follows predictUpdatePoint (KILO.cc:108-233):
+  body->imu->world transform, sensor-noise + state covariance propagation
+  per point, voxel plane match, information-form batched ESKF update, world
+  recompute with the updated state, then map insertion.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import eskf
+from .eskf import NoiseParams
+from .plane_fit import calc_body_cov
+from .so3 import skew
+from .state import State, make_state
+from .voxel_map import MapConfig, VoxelMap, insert_points, make_map, match_points, slide_map
+
+
+class ScanPacket(NamedTuple):
+    """One preprocessed LiDAR scan + interleaved IMU/kin events.
+
+    All times are seconds relative to the scan begin time.  ``rebase`` is
+    (this scan's begin - previous scan's begin), used to rebase the carried
+    clocks.  Shapes: NB = buckets, P = points/bucket, K = events/bucket.
+    """
+
+    rebase: jnp.ndarray        # [] f32
+    end_offset: jnp.ndarray    # [] f32 (lidar_end_time - begin)
+    bucket_time: jnp.ndarray   # [NB] f32
+    bucket_mask: jnp.ndarray   # [NB] bool
+    points: jnp.ndarray        # [NB, P, 3] body-frame points
+    point_mask: jnp.ndarray    # [NB, P] bool
+    imu_time: jnp.ndarray      # [NB, K] f32
+    imu_mask: jnp.ndarray      # [NB, K] bool
+    imu_acc: jnp.ndarray       # [NB, K, 3]
+    imu_gyr: jnp.ndarray       # [NB, K, 3]
+    foot_pos: jnp.ndarray      # [NB, K, 4, 3] (zeros in IMU-only mode)
+    foot_vel: jnp.ndarray      # [NB, K, 4, 3]
+    contact: jnp.ndarray       # [NB, K, 4] bool
+
+
+class FilterParams(NamedTuple):
+    """Device-side runtime parameters."""
+
+    noise: NoiseParams
+    ext_r: jnp.ndarray         # [3, 3] IMU <- LiDAR rotation
+    ext_t: jnp.ndarray         # [3]
+    g_over_acc_norm: jnp.ndarray  # [] gravity / |mean_acc|
+
+
+class StaticConfig(NamedTuple):
+    """Trace-time configuration (hashable)."""
+
+    map_cfg: MapConfig
+    use_kin: bool
+    dept_err: float
+    beam_err: float
+    map_sliding_en: bool = False
+    sliding_thresh: float = 8.0
+    half_map_size: int = 100
+    return_cloud: bool = False
+
+
+class FilterCarry(NamedTuple):
+    """State carried across scans (and across buckets within a scan)."""
+
+    state: State
+    cov: jnp.ndarray           # [30, 30]
+    last_predict_t: jnp.ndarray  # [] f32, relative to current scan begin
+    last_update_t: jnp.ndarray   # [] f32
+    vm: VoxelMap
+    last_slide_pos: jnp.ndarray  # [3]
+
+
+class ScanOutput(NamedTuple):
+    rot: jnp.ndarray           # [3, 3] pose at scan end
+    pos: jnp.ndarray           # [3]
+    n_matched: jnp.ndarray     # [] int32  (success_pts_size analog)
+    n_points: jnp.ndarray      # [] int32  (downsampled count)
+    cloud_world: Optional[jnp.ndarray]  # [NB, P, 3] or None
+
+
+def init_carry(scfg: StaticConfig, dtype=jnp.float32) -> FilterCarry:
+    return FilterCarry(
+        state=make_state(dtype=dtype),
+        cov=jnp.eye(30, dtype=dtype) * 1e-6,
+        last_predict_t=jnp.zeros((), dtype=dtype),
+        last_update_t=jnp.zeros((), dtype=dtype),
+        vm=make_map(scfg.map_cfg, dtype=dtype),
+        last_slide_pos=jnp.zeros((3,), dtype=dtype),
+    )
+
+
+def init_state_from_imu(
+    carry: FilterCarry,
+    mean_acc: jnp.ndarray,
+    mean_gyr: jnp.ndarray,
+    gravity: float,
+    end_offset: jnp.ndarray,
+) -> Tuple[FilterCarry, jnp.ndarray]:
+    """First-frame state initialization (StateInitial, state_initial.hpp:30-118).
+
+    grav = -mean_acc/|mean_acc| * g, bw = mean_gyr, rot = I, cov = 1e-6 I.
+    Returns the updated carry and acc_norm (callers build g/acc_norm).
+    """
+    dtype = carry.cov.dtype
+    acc_norm = jnp.linalg.norm(mean_acc)
+    st = make_state(dtype=dtype)
+    lin = st.lin
+    lin = lin.at[12:15].set(-mean_acc / acc_norm * gravity)  # grav
+    lin = lin.at[9:12].set(mean_gyr)                          # bw
+    st = State(rot=st.rot, lin=lin)
+    return (
+        carry._replace(
+            state=st,
+            cov=jnp.eye(30, dtype=dtype) * 1e-6,
+            last_predict_t=end_offset.astype(dtype),
+            last_update_t=end_offset.astype(dtype),
+        ),
+        acc_norm,
+    )
+
+
+def first_frame_map(
+    carry: FilterCarry,
+    scfg: StaticConfig,
+    params: FilterParams,
+    points_body: jnp.ndarray,  # [N, 3] raw (undownsampled) scan
+    mask: jnp.ndarray,         # [N]
+) -> FilterCarry:
+    """Build the initial voxel map from the first raw scan.
+
+    Parity: BuildVoxelMap (voxel_map.cc:287-334) including its variance
+    formula: var = (R extR) C (R extR)^T + (-[p_b]x) RotCov (-[p_b]x)^T
+    + PosCov (note: crossmat of the *body* point, without R — the reference's
+    first-frame path differs from the per-bucket path this way).
+    """
+    st, cov = carry.state, carry.cov
+    p_i = points_body @ params.ext_r.T + params.ext_t
+    p_w = p_i @ st.rot.T + st.pos
+    body_cov = calc_body_cov(points_body, scfg.dept_err, scfg.beam_err)
+    rot_ext = st.rot @ params.ext_r
+    crossmat = skew(points_body)
+    rot_cov = cov[0:3, 0:3]
+    pos_cov = cov[3:6, 3:6]
+    var = (
+        jnp.einsum("ij,njk,lk->nil", rot_ext, body_cov, rot_ext)
+        + jnp.einsum("nij,jk,nlk->nil", -crossmat, rot_cov, -crossmat)
+        + pos_cov
+    )
+    vm = insert_points(carry.vm, scfg.map_cfg, p_w, var, mask)
+    return carry._replace(vm=vm)
+
+
+def _point_vars(st: State, cov, params, scfg, p_b):
+    """World positions + propagated per-point covariance (KILO.cc:122-140)."""
+    p_i = p_b @ params.ext_r.T + params.ext_t
+    p_w = p_i @ st.rot.T + st.pos
+    body_cov = calc_body_cov(p_b, scfg.dept_err, scfg.beam_err)
+    crossmat = skew(p_i)
+    rot_ext = st.rot @ params.ext_r
+    rot_cross = jnp.einsum("ij,njk->nik", st.rot, crossmat)
+    var = (
+        jnp.einsum("ij,njk,lk->nil", rot_ext, body_cov, rot_ext)
+        + jnp.einsum("nij,jk,nlk->nil", rot_cross, cov[0:3, 0:3], rot_cross)
+        + cov[3:6, 3:6]
+    )
+    return p_i, p_w, body_cov, crossmat, var
+
+
+def _imu_kin_event(carry: FilterCarry, params: FilterParams, scfg: StaticConfig,
+                   t, gate, acc, gyr, foot_pos, foot_vel, contact):
+    """One (possibly masked) IMU or kinematic event
+    (predictUpdateImu / predictUpdateKinImu, KILO.cc:235-314)."""
+    st, cov = carry.state, carry.cov
+    gatef = gate.astype(cov.dtype)
+    dt_cov = (t - carry.last_update_t) * gatef
+    dt = (t - carry.last_predict_t) * gatef
+    st, cov = eskf.predict(st, cov, params.noise.q_diag, dt, dt_cov)
+
+    if scfg.use_kin:
+        h, z, r, _ = eskf.build_kin_obs(
+            st, acc, gyr, foot_pos, foot_vel, contact, params.noise,
+            params.g_over_acc_norm,
+        )
+        st, cov = eskf.update_by_kin_imu(st, cov, h, z, r, gate=gatef)
+    else:
+        z6 = eskf.imu_innovation(st, acc, gyr, params.g_over_acc_norm)
+        st, cov = eskf.update_by_imu(st, cov, z6, params.noise.imu_meas_r, gate=gatef)
+
+    return carry._replace(
+        state=st,
+        cov=cov,
+        last_predict_t=jnp.where(gate, t, carry.last_predict_t),
+        last_update_t=jnp.where(gate, t, carry.last_update_t),
+    )
+
+
+def _point_bucket(carry: FilterCarry, params: FilterParams, scfg: StaticConfig,
+                  t, gate, p_b, pmask):
+    """One (possibly masked) LiDAR time-bucket (predictUpdatePoint,
+    KILO.cc:108-233)."""
+    cfg = scfg.map_cfg
+    gatef = gate.astype(carry.cov.dtype)
+    dt_cov = (t - carry.last_update_t) * gatef
+    dt = (t - carry.last_predict_t) * gatef
+    st, cov = eskf.predict(carry.state, carry.cov, params.noise.q_diag, dt, dt_cov)
+    last_predict_t = jnp.where(gate, t, carry.last_predict_t)
+
+    pmask = pmask & gate
+    p_i, p_w, body_cov, crossmat, var = _point_vars(st, cov, params, scfg, p_b)
+    m = match_points(carry.vm, cfg, p_w, var, pmask)
+
+    # Observation rows (KILO.cc:190-210).
+    rt_n = m.normal @ st.rot                     # R^T n  (row-vector form)
+    cr_u = jnp.einsum("nij,nj->ni", crossmat, rt_n)
+    h6 = jnp.concatenate([cr_u, m.normal], axis=-1)          # [P, 6]
+    z = -m.signed_dist
+    j_nq = jnp.concatenate([p_w - m.center, -m.normal], axis=-1)
+    single_l = jnp.einsum("ni,nij,nj->n", j_nq, m.plane_var, j_nq)
+    rot_ext = st.rot @ params.ext_r
+    var_bw = jnp.einsum("ij,njk,lk->nil", rot_ext, body_cov, rot_ext)
+    r = params.noise.lidar_point_meas_ratio * (
+        single_l + jnp.einsum("ni,nij,nj->n", m.normal, var_bw, m.normal)
+    )
+
+    st2, cov2 = eskf.update_by_points(st, cov, h6, z, r, m.matched)
+    did_update = jnp.any(m.matched)
+    # (update_by_points is an exact no-op with zero matched rows, but keep the
+    # explicit select so last_update_t bookkeeping matches KILO.cc:211-213.)
+    st = jax.tree.map(lambda a, b: jnp.where(did_update, a, b), st2, State(st.rot, st.lin))
+    cov = jnp.where(did_update, cov2, cov)
+    last_update_t = jnp.where(gate & did_update, t, carry.last_update_t)
+
+    # Recompute world coords + vars with the updated state before map insert
+    # (KILO.cc:216-231; only when an update happened).
+    _, p_w2, _, _, var2 = _point_vars(st, cov, params, scfg, p_b)
+    p_w_final = jnp.where(did_update, p_w2, p_w)
+    var_final = jnp.where(did_update, var2, var)
+    vm = insert_points(carry.vm, cfg, p_w_final, var_final, pmask)
+
+    n_matched = jnp.sum(m.matched.astype(jnp.int32))
+    return (
+        carry._replace(
+            state=st, cov=cov,
+            last_predict_t=last_predict_t, last_update_t=last_update_t,
+            vm=vm,
+        ),
+        n_matched,
+        p_w_final,
+    )
+
+
+def process_scan(
+    carry: FilterCarry,
+    packet: ScanPacket,
+    params: FilterParams,
+    scfg: StaticConfig,
+) -> Tuple[FilterCarry, ScanOutput]:
+    """Run the full predict/update/map-update chain for one scan.
+
+    Pure function of (carry, packet, params); jit with scfg static:
+
+        step = jax.jit(process_scan, static_argnums=3)
+    """
+    kmax = packet.imu_time.shape[1]
+
+    # Rebase carried clocks to this scan's begin time.
+    carry = carry._replace(
+        last_predict_t=carry.last_predict_t - packet.rebase,
+        last_update_t=carry.last_update_t - packet.rebase,
+    )
+
+    def bucket_step(c: FilterCarry, inp):
+        (bt, bmask, pts, pmask, it, imask, acc, gyr, fp, fv, ct) = inp
+        for k in range(kmax):
+            c = _imu_kin_event(
+                c, params, scfg, it[k], imask[k], acc[k], gyr[k],
+                fp[k], fv[k], ct[k],
+            )
+        c, n_matched, p_w = _point_bucket(c, params, scfg, bt, bmask, pts, pmask)
+        out = (n_matched, p_w) if scfg.return_cloud else (n_matched,)
+        return c, out
+
+    xs = (
+        packet.bucket_time, packet.bucket_mask, packet.points, packet.point_mask,
+        packet.imu_time, packet.imu_mask, packet.imu_acc, packet.imu_gyr,
+        packet.foot_pos, packet.foot_vel, packet.contact,
+    )
+    carry, outs = jax.lax.scan(bucket_step, carry, xs)
+    n_matched = jnp.sum(outs[0])
+    cloud = outs[1] if scfg.return_cloud else None
+
+    # Local-map sliding (mapSliding, voxel_map.cc:552-571).
+    if scfg.map_sliding_en:
+        moved = jnp.linalg.norm(carry.state.pos - carry.last_slide_pos)
+        trigger = moved >= scfg.sliding_thresh
+        vm_slid = slide_map(
+            carry.vm, scfg.map_cfg, carry.state.pos, scfg.half_map_size
+        )
+        vm = jax.tree.map(
+            lambda a, b: jnp.where(
+                trigger.reshape((1,) * a.ndim), a, b
+            ), vm_slid, carry.vm,
+        )
+        carry = carry._replace(
+            vm=vm,
+            last_slide_pos=jnp.where(trigger, carry.state.pos, carry.last_slide_pos),
+        )
+
+    out = ScanOutput(
+        rot=carry.state.rot,
+        pos=carry.state.pos,
+        n_matched=n_matched,
+        n_points=jnp.sum(packet.point_mask.astype(jnp.int32)),
+        cloud_world=cloud,
+    )
+    return carry, out

@@ -26,6 +26,13 @@ adapted from FAST-LIVO2), re-designed for XLA:
 * Batched parallel insertion uses scatter-claim rounds: each new key claims
   the first empty probe slot, losers re-probe.  Padded points carry an
   out-of-range slot index and are dropped by XLA scatter ``mode="drop"``.
+* Per-slot state is packed into three dense row blocks so every hot
+  operation is a handful of wide gathers/scatters instead of one per field:
+
+      meta  [L, C, 5]    n, new_n, frozen, initialized, is_plane
+      mom   [L, C, 129]  m1(3) m2(9) s0(9) s1(27) s2(81)
+      plane [L, C, 46]   center_rel(3) normal(3) evals(3) radius(1)
+                         plane_var(36)
 
 All state lives in a single ``VoxelMap`` NamedTuple of arrays -> trivially
 vmap-able (per-replica maps), donate-able, and orbax-checkpointable (the
@@ -45,6 +52,12 @@ _HASH_P1 = jnp.uint32(73856093)
 _HASH_P2 = jnp.uint32(471943)
 _HASH_P3 = jnp.uint32(83492791)
 
+# meta row layout
+_M_N, _M_NEW, _M_FROZEN, _M_INIT, _M_PLANE = 0, 1, 2, 3, 4
+META_DIM = 5
+MOM_DIM = 129
+PLANE_DIM = 46
+
 
 class MapConfig(NamedTuple):
     """Static (trace-time) map configuration."""
@@ -58,7 +71,7 @@ class MapConfig(NamedTuple):
     max_points_num: int      # freeze threshold
     init_num: Tuple[int, ...]  # per-level init thresholds (layer_init_num)
     update_size_threshold: int = 5
-    insert_rounds: int = 6  # claim rounds; k same-hash keys need k rounds
+    insert_rounds: int = 6   # claim rounds; k same-hash keys need k rounds
     radius_k: float = 3.0    # range gate multiplier (voxel_map.cc:369)
 
 
@@ -80,23 +93,42 @@ def map_config_from(cfg) -> MapConfig:
 class VoxelMap(NamedTuple):
     """All map state, [levels, capacity, ...] device arrays."""
 
-    key: jnp.ndarray         # [L, C, 3] int32
-    occ: jnp.ndarray         # [L, C] bool
-    n: jnp.ndarray           # [L, C] float  point count
-    new_n: jnp.ndarray       # [L, C] float  points since last fit
-    frozen: jnp.ndarray      # [L, C] bool   update_enable_ == false
-    initialized: jnp.ndarray  # [L, C] bool  init_octo_ analog
-    is_plane: jnp.ndarray    # [L, C] bool
-    m1: jnp.ndarray          # [L, C, 3]
-    m2: jnp.ndarray          # [L, C, 3, 3]
-    s0: jnp.ndarray          # [L, C, 3, 3]
-    s1: jnp.ndarray          # [L, C, 3, 3, 3]
-    s2: jnp.ndarray          # [L, C, 3, 3, 3, 3]
-    center_rel: jnp.ndarray  # [L, C, 3] plane center relative to voxel center
-    normal: jnp.ndarray      # [L, C, 3]
-    evals: jnp.ndarray       # [L, C, 3]
-    radius: jnp.ndarray      # [L, C]
-    plane_var: jnp.ndarray   # [L, C, 6, 6]
+    key: jnp.ndarray    # [L, C, 3] int32
+    occ: jnp.ndarray    # [L, C] bool
+    meta: jnp.ndarray   # [L, C, META_DIM]
+    mom: jnp.ndarray    # [L, C, MOM_DIM]
+    plane: jnp.ndarray  # [L, C, PLANE_DIM]
+
+    # Unpacked views (read-only convenience for tests/tools).
+    def n(self):
+        return self.meta[..., _M_N]
+
+    def new_n(self):
+        return self.meta[..., _M_NEW]
+
+    def frozen(self):
+        return self.meta[..., _M_FROZEN] > 0.5
+
+    def initialized(self):
+        return self.meta[..., _M_INIT] > 0.5
+
+    def is_plane(self):
+        return self.meta[..., _M_PLANE] > 0.5
+
+    def center_rel(self):
+        return self.plane[..., 0:3]
+
+    def normal(self):
+        return self.plane[..., 3:6]
+
+    def evals(self):
+        return self.plane[..., 6:9]
+
+    def radius(self):
+        return self.plane[..., 9]
+
+    def plane_var(self):
+        return self.plane[..., 10:46].reshape(self.plane.shape[:-1] + (6, 6))
 
 
 class MatchResult(NamedTuple):
@@ -109,27 +141,41 @@ class MatchResult(NamedTuple):
     signed_dist: jnp.ndarray  # [N] n . (p - center)
 
 
+def _pack_moments(m: PlaneMoments) -> jnp.ndarray:
+    """PlaneMoments (without n) -> [..., MOM_DIM] rows."""
+    lead = m.m1.shape[:-1]
+    return jnp.concatenate(
+        [
+            m.m1.reshape(lead + (3,)),
+            m.m2.reshape(lead + (9,)),
+            m.s0.reshape(lead + (9,)),
+            m.s1.reshape(lead + (27,)),
+            m.s2.reshape(lead + (81,)),
+        ],
+        axis=-1,
+    )
+
+
+def _unpack_moments(rows: jnp.ndarray, n: jnp.ndarray) -> PlaneMoments:
+    lead = rows.shape[:-1]
+    return PlaneMoments(
+        n=n,
+        m1=rows[..., 0:3],
+        m2=rows[..., 3:12].reshape(lead + (3, 3)),
+        s0=rows[..., 12:21].reshape(lead + (3, 3)),
+        s1=rows[..., 21:48].reshape(lead + (3, 3, 3)),
+        s2=rows[..., 48:129].reshape(lead + (3, 3, 3, 3)),
+    )
+
+
 def make_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelMap:
     L, C = cfg.levels, cfg.capacity
-    f = lambda *s: jnp.zeros((L, C) + s, dtype=dtype)  # noqa: E731
     return VoxelMap(
         key=jnp.zeros((L, C, 3), dtype=jnp.int32),
         occ=jnp.zeros((L, C), dtype=bool),
-        n=f(),
-        new_n=f(),
-        frozen=jnp.zeros((L, C), dtype=bool),
-        initialized=jnp.zeros((L, C), dtype=bool),
-        is_plane=jnp.zeros((L, C), dtype=bool),
-        m1=f(3),
-        m2=f(3, 3),
-        s0=f(3, 3),
-        s1=f(3, 3, 3),
-        s2=f(3, 3, 3, 3),
-        center_rel=f(3),
-        normal=f(3),
-        evals=f(3),
-        radius=f(),
-        plane_var=f(6, 6),
+        meta=jnp.zeros((L, C, META_DIM), dtype=dtype),
+        mom=jnp.zeros((L, C, MOM_DIM), dtype=dtype),
+        plane=jnp.zeros((L, C, PLANE_DIM), dtype=dtype),
     )
 
 
@@ -156,25 +202,27 @@ def _probe_find(
     keys: jnp.ndarray,      # [N, 3]
     cfg: MapConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Linear-probe lookup.  Returns (slot, found, empty_slot, has_empty):
-    ``slot`` is the matching slot (or capacity if none), ``empty_slot`` the
-    first unoccupied probe position (or capacity)."""
+    """Vectorized linear-probe lookup: one wide gather over all probe
+    offsets.  Returns (slot, found, empty_slot, has_empty); missing entries
+    are ``capacity`` (out of range -> scatter-dropped / gather-filled)."""
     C = cfg.capacity
     h0 = _hash(keys, C)
-    slot = jnp.full(h0.shape, C, dtype=jnp.int32)
-    empty = jnp.full(h0.shape, C, dtype=jnp.int32)
-    found = jnp.zeros(h0.shape, dtype=bool)
-    has_empty = jnp.zeros(h0.shape, dtype=bool)
-    for j in range(cfg.probe):
-        idx = (h0 + j) & (C - 1)
-        k_at = key_arr[idx]                       # [N, 3]
-        occ_at = occ[idx]                         # [N]
-        match = occ_at & jnp.all(k_at == keys, axis=-1)
-        slot = jnp.where(~found & match, idx, slot)
-        found = found | match
-        is_empty = ~occ_at
-        empty = jnp.where(~has_empty & is_empty, idx, empty)
-        has_empty = has_empty | is_empty
+    offs = jnp.arange(cfg.probe, dtype=jnp.int32)
+    idx = (h0[:, None] + offs[None, :]) & (C - 1)      # [N, probe]
+    k_at = key_arr[idx]                                 # [N, probe, 3]
+    occ_at = occ[idx]                                   # [N, probe]
+    match = occ_at & jnp.all(k_at == keys[:, None, :], axis=-1)
+    found = jnp.any(match, axis=-1)
+    first_match = jnp.argmax(match, axis=-1)            # first True
+    slot = jnp.where(
+        found, jnp.take_along_axis(idx, first_match[:, None], axis=-1)[:, 0], C
+    )
+    is_empty = ~occ_at
+    has_empty = jnp.any(is_empty, axis=-1)
+    first_empty = jnp.argmax(is_empty, axis=-1)
+    empty = jnp.where(
+        has_empty, jnp.take_along_axis(idx, first_empty[:, None], axis=-1)[:, 0], C
+    )
     return slot, found, empty, has_empty
 
 
@@ -232,7 +280,8 @@ def insert_points(
     BuildVoxelMap first-frame path (voxel_map.cc:287-334) — same operation
     with the full first scan.
     """
-    dtype = vm.m1.dtype
+    dtype = vm.mom.dtype
+    C = cfg.capacity
     for lvl in range(cfg.levels):
         size = level_size(cfg, lvl)
         keys = voxel_key(p_w, size)
@@ -241,65 +290,65 @@ def insert_points(
         )
         # Contribution gating: frozen slots stop accumulating
         # (update_enable_, voxel_map.cc:199-204).
-        frozen_at = vm.frozen[lvl].at[slot].get(mode="fill", fill_value=True)
-        contrib = ok & ~frozen_at
-        tgt = jnp.where(contrib, slot, cfg.capacity)
+        meta_at = vm.meta[lvl].at[slot].get(mode="fill", fill_value=0.0)
+        contrib = ok & (meta_at[:, _M_FROZEN] < 0.5)
+        tgt = jnp.where(contrib, slot, C)
 
         vc = (keys.astype(dtype) + 0.5) * size
-        mom = point_moments(p_w - vc, var)
+        mom_rows = _pack_moments(point_moments(p_w - vc, var))  # [N, 129]
 
-        n = vm.n[lvl].at[tgt].add(mom.n, mode="drop")
-        new_n = vm.new_n[lvl].at[tgt].add(mom.n, mode="drop")
-        m1 = vm.m1[lvl].at[tgt].add(mom.m1, mode="drop")
-        m2 = vm.m2[lvl].at[tgt].add(mom.m2, mode="drop")
-        s0 = vm.s0[lvl].at[tgt].add(mom.s0, mode="drop")
-        s1 = vm.s1[lvl].at[tgt].add(mom.s1, mode="drop")
-        s2 = vm.s2[lvl].at[tgt].add(mom.s2, mode="drop")
+        counts = jnp.zeros((p_w.shape[0], META_DIM), dtype=dtype)
+        counts = counts.at[:, _M_N].set(1.0).at[:, _M_NEW].set(1.0)
+        meta = vm.meta[lvl].at[tgt].add(counts, mode="drop")
+        mom = vm.mom[lvl].at[tgt].add(mom_rows, mode="drop")
 
         # Refit planes for touched slots that crossed their thresholds.
-        g = lambda a: a.at[tgt].get(mode="fill", fill_value=0)  # noqa: E731
-        n_t = g(n)
-        init_t = vm.initialized[lvl].at[tgt].get(mode="fill", fill_value=True)
+        meta_t = meta.at[tgt].get(mode="fill", fill_value=0.0)   # [N, META]
+        mom_t = mom.at[tgt].get(mode="fill", fill_value=0.0)     # [N, 129]
+        n_t = meta_t[:, _M_N]
+        init_t = meta_t[:, _M_INIT] > 0.5
         refit = (
             contrib
             & (n_t > float(cfg.init_num[lvl]))
-            & (~init_t | (g(new_n) > float(cfg.update_size_threshold)))
+            & (~init_t | (meta_t[:, _M_NEW] > float(cfg.update_size_threshold)))
         )
-        mom_t = PlaneMoments(n=n_t, m1=g(m1), m2=g(m2), s0=g(s0), s1=g(s1), s2=g(s2))
-        fit = fit_planes(mom_t, cfg.planer_threshold)
-        ft = jnp.where(refit, tgt, cfg.capacity)
+        fit = fit_planes(_unpack_moments(mom_t, n_t), cfg.planer_threshold)
+        plane_rows = jnp.concatenate(
+            [
+                fit.center_rel,
+                fit.normal,
+                fit.evals,
+                fit.radius[:, None],
+                fit.plane_var.reshape(-1, 36),
+            ],
+            axis=-1,
+        )
+        ft = jnp.where(refit, tgt, C)
+        plane = vm.plane[lvl].at[ft].set(plane_rows, mode="drop")
 
-        center_rel = vm.center_rel[lvl].at[ft].set(fit.center_rel, mode="drop")
-        normal = vm.normal[lvl].at[ft].set(fit.normal, mode="drop")
-        evals = vm.evals[lvl].at[ft].set(fit.evals, mode="drop")
-        radius = vm.radius[lvl].at[ft].set(fit.radius, mode="drop")
-        plane_var = vm.plane_var[lvl].at[ft].set(fit.plane_var, mode="drop")
-        is_plane = vm.is_plane[lvl].at[ft].set(fit.is_plane, mode="drop")
-        initialized = vm.initialized[lvl].at[ft].set(True, mode="drop")
-        new_n = new_n.at[ft].set(0.0, mode="drop")
-
-        # Freeze saturated voxels (max_points_num, voxel_map.cc:199-203).
-        freeze_tgt = jnp.where(contrib & (n_t >= float(cfg.max_points_num)), tgt, cfg.capacity)
-        frozen = vm.frozen[lvl].at[freeze_tgt].set(True, mode="drop")
+        # Combined meta writeback at every touched slot: freeze at
+        # max_points_num (voxel_map.cc:199-203), init/is_plane/new_n on refit.
+        new_meta = jnp.stack(
+            [
+                n_t,
+                jnp.where(refit, 0.0, meta_t[:, _M_NEW]),
+                jnp.maximum(
+                    meta_t[:, _M_FROZEN],
+                    (n_t >= float(cfg.max_points_num)).astype(dtype),
+                ),
+                jnp.maximum(meta_t[:, _M_INIT], refit.astype(dtype)),
+                jnp.where(refit, fit.is_plane.astype(dtype), meta_t[:, _M_PLANE]),
+            ],
+            axis=-1,
+        )
+        meta = meta.at[tgt].set(new_meta, mode="drop")
 
         vm = vm._replace(
             key=vm.key.at[lvl].set(key_arr),
             occ=vm.occ.at[lvl].set(occ),
-            n=vm.n.at[lvl].set(n),
-            new_n=vm.new_n.at[lvl].set(new_n),
-            frozen=vm.frozen.at[lvl].set(frozen),
-            initialized=vm.initialized.at[lvl].set(initialized),
-            is_plane=vm.is_plane.at[lvl].set(is_plane),
-            m1=vm.m1.at[lvl].set(m1),
-            m2=vm.m2.at[lvl].set(m2),
-            s0=vm.s0.at[lvl].set(s0),
-            s1=vm.s1.at[lvl].set(s1),
-            s2=vm.s2.at[lvl].set(s2),
-            center_rel=vm.center_rel.at[lvl].set(center_rel),
-            normal=vm.normal.at[lvl].set(normal),
-            evals=vm.evals.at[lvl].set(evals),
-            radius=vm.radius.at[lvl].set(radius),
-            plane_var=vm.plane_var.at[lvl].set(plane_var),
+            meta=vm.meta.at[lvl].set(meta),
+            mom=vm.mom.at[lvl].set(mom),
+            plane=vm.plane.at[lvl].set(plane),
         )
     return vm
 
@@ -314,21 +363,22 @@ def _candidate_eval(
 ):
     """Evaluate one candidate (level, key) per point.
 
-    Returns (ok_exists, plane_ok, gate_ok, prob, normal, center_w, plane_var,
+    Returns (found, is_plane, ok, prob, normal, center_w, plane_var,
     signed_dist) — the vectorized body of build_single_residual
     (voxel_map.cc:363-427).
     """
-    dtype = vm.m1.dtype
+    dtype = vm.mom.dtype
     size = level_size(cfg, lvl)
     slot, found, _, _ = _probe_find(vm.key[lvl], vm.occ[lvl], keys, cfg)
-    g = lambda a, fill=0: a[lvl].at[slot].get(mode="fill", fill_value=fill)  # noqa: E731
+    meta_at = vm.meta[lvl].at[slot].get(mode="fill", fill_value=0.0)
+    plane_at = vm.plane[lvl].at[slot].get(mode="fill", fill_value=0.0)
 
-    is_plane = g(vm.is_plane, False) & found
+    is_plane = (meta_at[:, _M_PLANE] > 0.5) & found
     vc = (keys.astype(dtype) + 0.5) * size
-    center = vc + g(vm.center_rel)
-    normal = g(vm.normal)
-    radius = g(vm.radius)
-    plane_var = g(vm.plane_var)
+    center = vc + plane_at[:, 0:3]
+    normal = plane_at[:, 3:6]
+    radius = plane_at[:, 9]
+    plane_var = plane_at[:, 10:46].reshape(-1, 6, 6)
 
     rel = p_w - center
     signed_dist = jnp.sum(normal * rel, axis=-1)
@@ -356,7 +406,7 @@ def _chain_best(vm, cfg, p_w, var, base_keys_per_level):
     every ancestor exists and is not a plane (a planar ancestor terminates
     the recursion and is itself the candidate; voxel_map.cc:371-427)."""
     N = p_w.shape[0]
-    dtype = vm.m1.dtype
+    dtype = vm.mom.dtype
     best_prob = jnp.full((N,), -jnp.inf, dtype=dtype)
     best = MatchResult(
         matched=jnp.zeros((N,), dtype=bool),
@@ -398,7 +448,7 @@ def match_points(
     Own-voxel chain first; points that fail fall back to the adjacent-voxel
     chain (the intended semantics of the neighbor retry at KILO.cc:156-178,
     with the unit mixup fixed — see module docstring)."""
-    dtype = vm.m1.dtype
+    dtype = vm.mom.dtype
 
     own_keys, nbr_keys = [], []
     for lvl in range(cfg.levels):
@@ -431,37 +481,22 @@ def slide_map(vm: VoxelMap, cfg: MapConfig, position: jnp.ndarray, half_map_size
     """Drop voxels outside a box around the current position.
 
     Parity: mapSliding/clearMemOutOfMap (voxel_map.cc:552-594).  With a
-    fixed-capacity table "delete" is just clearing occupancy; slots are
-    reused by later inserts.  The distance-threshold trigger lives with the
-    caller (filter.py), matching the reference's position_last_ logic.
+    fixed-capacity table "delete" is just clearing occupancy + stats; slots
+    are reused by later inserts.  The distance-threshold trigger lives with
+    the caller (filter.py), matching the reference's position_last_ logic.
     """
-    new_occ = vm.occ
+    keep = vm.occ
     for lvl in range(cfg.levels):
         size = level_size(cfg, lvl)
         center_key = jnp.floor(position / size).astype(jnp.int32)
         half = int(half_map_size * (2 ** lvl))
         delta = vm.key[lvl] - center_key[None, :]
         inside = jnp.all(jnp.abs(delta) <= half, axis=-1)
-        new_occ = new_occ.at[lvl].set(vm.occ[lvl] & inside)
-    # Clearing occupancy also requires clearing stats so reused slots start
-    # fresh.
-    keep = new_occ
-    kf = keep.astype(vm.n.dtype)
+        keep = keep.at[lvl].set(vm.occ[lvl] & inside)
+    kf = keep.astype(vm.mom.dtype)[..., None]
     return vm._replace(
         occ=keep,
-        n=vm.n * kf,
-        new_n=vm.new_n * kf,
-        frozen=vm.frozen & keep,
-        initialized=vm.initialized & keep,
-        is_plane=vm.is_plane & keep,
-        m1=vm.m1 * kf[..., None],
-        m2=vm.m2 * kf[..., None, None],
-        s0=vm.s0 * kf[..., None, None],
-        s1=vm.s1 * kf[..., None, None, None],
-        s2=vm.s2 * kf[..., None, None, None, None],
-        center_rel=vm.center_rel * kf[..., None],
-        normal=vm.normal * kf[..., None],
-        evals=vm.evals * kf[..., None],
-        radius=vm.radius * kf,
-        plane_var=vm.plane_var * kf[..., None, None],
+        meta=vm.meta * kf,
+        mom=vm.mom * kf,
+        plane=vm.plane * kf,
     )

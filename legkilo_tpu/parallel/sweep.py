@@ -1,0 +1,107 @@
+"""Monte-Carlo fleet replay: B filter replicas sharded over a device mesh.
+
+BASELINE.json's north star: thousands of batched bag replays / noise-
+parameter sweeps per step across chips and hosts, with fleet statistics
+reduced over ICI.  A replica is one full filter instance (state, covariance,
+its own voxel map); the per-scan step is ``vmap(process_scan)`` jitted with
+replica-sharded inputs — XLA partitions everything on the leading axis and
+inserts collectives only for the final statistics reductions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.filter import (
+    FilterCarry,
+    FilterParams,
+    ScanPacket,
+    StaticConfig,
+    init_carry,
+    process_scan,
+)
+from .mesh import REPLICA_AXIS, make_mesh, shard_batch
+
+
+class FleetStats(NamedTuple):
+    """Per-step fleet statistics (reduced across replicas/chips)."""
+
+    mean_pos: jnp.ndarray     # [3]
+    pos_spread: jnp.ndarray   # [] max pairwise deviation from the mean
+    mean_matched: jnp.ndarray  # []
+    min_matched: jnp.ndarray   # []
+
+
+def batched_carry(scfg: StaticConfig, batch: int, dtype=jnp.float32) -> FilterCarry:
+    """B independent filter instances stacked on the leading axis."""
+    one = init_carry(scfg, dtype=dtype)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), one)
+
+
+def make_fleet_step(scfg: StaticConfig, mesh=None, with_stats: bool = True):
+    """Build the jitted sharded fleet step:
+
+        (carry [B,...], packet [B,...], params [B,...]) -> (carry, out, stats)
+
+    ``params`` is batched too so noise-parameter sweeps shard for free.
+    """
+
+    def step(carry, packet, params):
+        carry, out = jax.vmap(process_scan, in_axes=(0, 0, 0, None))(
+            carry, packet, params, scfg
+        )
+        if with_stats:
+            stats = FleetStats(
+                mean_pos=jnp.mean(out.pos, axis=0),
+                pos_spread=jnp.max(
+                    jnp.linalg.norm(out.pos - jnp.mean(out.pos, axis=0), axis=-1)
+                ),
+                mean_matched=jnp.mean(out.n_matched.astype(jnp.float32)),
+                min_matched=jnp.min(out.n_matched),
+            )
+        else:
+            stats = None
+        return carry, out, stats
+
+    if mesh is None:
+        return jax.jit(step)
+
+    shard = NamedSharding(mesh, P(REPLICA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def spec_like(tree, leading_spec):
+        return jax.tree.map(lambda _: leading_spec, tree)
+
+    return jax.jit(
+        step,
+        in_shardings=(shard, shard, shard),
+        out_shardings=(shard, shard, repl if with_stats else None),
+    )
+
+
+def broadcast_packets(packet: ScanPacket, batch: int) -> ScanPacket:
+    """Replicate one packet across the batch axis (same data per replica)."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)).copy(), packet
+    )
+
+
+def perturb_params(
+    params: FilterParams, batch: int, scale: float = 0.0, seed: int = 0
+) -> FilterParams:
+    """Batch params with optional log-normal noise-parameter perturbation
+    (parameter-sweep mode)."""
+    base = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)).copy(), params)
+    if scale <= 0.0:
+        return base
+    key = jax.random.PRNGKey(seed)
+    k1, _ = jax.random.split(key)
+    q = base.noise.q_diag * jnp.exp(
+        scale * jax.random.normal(k1, (batch, 1), dtype=base.noise.q_diag.dtype)
+    )
+    return base._replace(noise=base.noise._replace(q_diag=q))

@@ -1,0 +1,221 @@
+"""Odometry runner: host orchestration of the jitted per-scan filter.
+
+The reference's L3/L4 (RosInterface + node main loop,
+/root/reference/legkilo/src/interface/ros1/, src/apps/leg_kilo_node.cc)
+replaced by a replay engine: sensor streams -> PacketBuilder -> jitted
+``process_scan`` -> trajectory/cloud outputs.  No ROS; datasets come from
+converted bags (io/rosbag.py) or the simulator (models/sim.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .core import eskf as eskf_mod
+from .core.filter import (
+    FilterCarry,
+    FilterParams,
+    ScanOutput,
+    StaticConfig,
+    first_frame_map,
+    init_carry,
+    init_state_from_imu,
+    process_scan,
+)
+from .core.voxel_map import map_config_from
+from .io.dataset import (
+    HostPacket,
+    PacketBuilder,
+    RawScan,
+    decimate_blind,
+    first_packet_imu_stats,
+    to_device_packet,
+)
+from .utils.timing import Timer
+
+log = logging.getLogger(__name__)
+
+_FIRST_FRAME_PAD = 8192  # static shape for the (once-only) first-frame map build
+
+
+@dataclasses.dataclass
+class ScanResult:
+    time: float
+    rot: np.ndarray
+    pos: np.ndarray
+    n_matched: int
+    n_points: int
+    n_raw: int
+    cloud_world: Optional[np.ndarray] = None
+
+
+class OdometryRunner:
+    """Stateful replay engine around the pure jitted filter functions."""
+
+    def __init__(self, cfg: Config, return_cloud: bool = False, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.scfg = StaticConfig(
+            map_cfg=map_config_from(cfg.voxel_map),
+            use_kin=not cfg.only_imu_use,
+            dept_err=float(cfg.voxel_map.dept_err),
+            beam_err=float(cfg.voxel_map.beam_err),
+            map_sliding_en=bool(cfg.voxel_map.map_sliding_en),
+            sliding_thresh=float(cfg.voxel_map.sliding_thresh),
+            half_map_size=int(cfg.voxel_map.half_map_size),
+            return_cloud=return_cloud,
+        )
+        ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float64).reshape(3, 3)
+        ext_t = np.asarray(cfg.extrinsic_T, dtype=np.float64)
+        self.params = FilterParams(
+            noise=eskf_mod.make_noise_params(cfg.eskf, dtype=dtype),
+            ext_r=jnp.asarray(ext_r, dtype=dtype),
+            ext_t=jnp.asarray(ext_t, dtype=dtype),
+            g_over_acc_norm=jnp.asarray(1.0, dtype=dtype),  # set at init
+        )
+        self.builder = PacketBuilder(cfg)
+        self.carry: FilterCarry = init_carry(self.scfg, dtype=dtype)
+        self.initialized = False
+        # NOTE: donation of the carry (to update the ~100 MB map in place) is
+        # deferred to the perf pass — host-constructed carries can alias
+        # leaves, which XLA rejects when donated.
+        self._step = jax.jit(process_scan, static_argnums=3)
+        self._first_map = jax.jit(first_frame_map, static_argnums=1)
+        self.results: List[ScanResult] = []
+
+    # -- streaming input ---------------------------------------------------
+    def add_scan(self, scan: RawScan) -> List[ScanResult]:
+        self.builder.add_scan(scan)
+        return self._drain()
+
+    def add_imu(self, ev) -> List[ScanResult]:
+        self.builder.add_imu(ev)
+        return self._drain()
+
+    def add_kin_imu(self, ev) -> List[ScanResult]:
+        self.builder.add_kin_imu(ev)
+        return self._drain()
+
+    def _drain(self) -> List[ScanResult]:
+        out = []
+        while True:
+            if not self.builder.ready():
+                break
+            scan = self.builder._scans[0]
+            pkt = self.builder.pop()
+            if pkt is None:
+                break
+            if not self.initialized:
+                self._initialize(scan, pkt)
+                out.append(
+                    ScanResult(
+                        time=pkt.end_time,
+                        rot=np.asarray(self.carry.state.rot),
+                        pos=np.asarray(self.carry.state.pos),
+                        n_matched=0,
+                        n_points=0,
+                        n_raw=pkt.n_raw,
+                    )
+                )
+                continue
+            out.append(self._process(pkt))
+        self.results.extend(out)
+        return out
+
+    # -- internals ---------------------------------------------------------
+    def _initialize(self, scan: RawScan, pkt: HostPacket) -> None:
+        """First-frame path (KILO.cc:332-353)."""
+        events = self._events_from_packet(pkt)
+        if not events:
+            log.warning("First packet has no IMU events; skipping init")
+            return
+        mean_acc, mean_gyr = events
+        carry, acc_norm = init_state_from_imu(
+            self.carry,
+            jnp.asarray(mean_acc, dtype=self.dtype),
+            jnp.asarray(mean_gyr, dtype=self.dtype),
+            float(self.cfg.gravity),
+            jnp.asarray(pkt.end_offset, dtype=self.dtype),
+        )
+        self.params = self.params._replace(
+            g_over_acc_norm=(self.cfg.gravity / acc_norm).astype(self.dtype)
+        )
+        # Map from the decimated+blind-filtered raw cloud (KILO.cc:336-339
+        # builds from cloud_raw, i.e. LidarProcessing output, undownsampled).
+        pts, _ = decimate_blind(
+            scan.points, scan.time_offset,
+            self.cfg.lidar.filter_num, self.cfg.lidar.blind,
+        )
+        n = min(len(pts), _FIRST_FRAME_PAD)
+        buf = np.zeros((_FIRST_FRAME_PAD, 3), dtype=np.float32)
+        buf[:n] = pts[:n]
+        mask = np.zeros(_FIRST_FRAME_PAD, dtype=bool)
+        mask[:n] = True
+        self.carry = self._first_map(
+            carry, self.scfg, self.params, jnp.asarray(buf), jnp.asarray(mask)
+        )
+        self.initialized = True
+        g = np.asarray(self.carry.state.grav)
+        log.info(
+            "Initialization finished: gravity=(%.3f %.3f %.3f) |acc|=%.3f",
+            g[0], g[1], g[2], float(acc_norm),
+        )
+
+    def _events_from_packet(self, pkt: HostPacket):
+        m = pkt.imu_mask
+        if not m.any():
+            return None
+        return pkt.imu_acc[m].mean(axis=0), pkt.imu_gyr[m].mean(axis=0)
+
+    def _process(self, pkt: HostPacket) -> ScanResult:
+        dev = to_device_packet(pkt)
+        with Timer.measure("State predict/update & Map update"):
+            self.carry, out = self._step(self.carry, dev, self.params, self.scfg)
+            out = jax.tree.map(np.asarray, out)
+        if pkt.dropped_points or pkt.dropped_events:
+            log.warning(
+                "packet overflow: dropped %d points, %d events",
+                pkt.dropped_points, pkt.dropped_events,
+            )
+        return ScanResult(
+            time=pkt.end_time,
+            rot=out.rot,
+            pos=out.pos,
+            n_matched=int(out.n_matched),
+            n_points=int(out.n_points),
+            n_raw=pkt.n_raw,
+            cloud_world=out.cloud_world,
+        )
+
+
+def run_offline(
+    cfg: Config,
+    scans: Sequence[RawScan],
+    events: Sequence,
+    return_cloud: bool = False,
+) -> List[ScanResult]:
+    """Replay pre-loaded streams through the filter (dataset/sim replay)."""
+    runner = OdometryRunner(cfg, return_cloud=return_cloud)
+    use_kin = not cfg.only_imu_use
+    ev_iter = iter(sorted(events, key=lambda e: e.time))
+    pending = next(ev_iter, None)
+    for scan in scans:
+        # Feed events up to (and past) the scan end, then the scan — the
+        # packetizer enforces the lock-step sync itself.
+        while pending is not None and pending.time <= scan.end_time + 0.5:
+            if use_kin:
+                runner.add_kin_imu(pending)
+            else:
+                runner.add_imu(pending)
+            pending = next(ev_iter, None)
+        runner.add_scan(scan)
+        runner._drain()
+    return runner.results

@@ -1,0 +1,54 @@
+"""Per-stage running-average wall timing.
+
+Parity: Timer (/root/reference/legkilo/src/common/timer_utils.hpp:15-61) —
+a process-wide singleton accumulating running-average wall time per label,
+dumped at exit (leg_kilo_node.cc:45).  Used as a context manager:
+
+    with Timer.measure("Downsampling"):
+        ...
+    Timer.log_all_average_time()
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Dict
+
+log = logging.getLogger(__name__)
+
+
+class _TimerRegistry:
+    def __init__(self) -> None:
+        self._avg: Dict[str, float] = {}
+        self._count: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def measure(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            c = self._count.get(name, 0)
+            avg = self._avg.get(name, 0.0)
+            self._avg[name] = (avg * c + dt_ms) / (c + 1)
+            self._count[name] = c + 1
+
+    def average_ms(self, name: str) -> float:
+        return self._avg.get(name, 0.0)
+
+    def count(self, name: str) -> int:
+        return self._count.get(name, 0)
+
+    def log_all_average_time(self) -> None:
+        for name, avg in sorted(self._avg.items()):
+            log.info(">>> Average time of %s: %.3f ms (n=%d)", name, avg, self._count[name])
+
+    def reset(self) -> None:
+        self._avg.clear()
+        self._count.clear()
+
+
+Timer = _TimerRegistry()

@@ -61,7 +61,7 @@ def test_masked_points_not_inserted(rng):
     mask = jnp.zeros(40, dtype=bool)
     vm2 = vmap.insert_points(vm, cfg, pts, var, mask)
     assert not bool(np.asarray(vm2.occ).any())
-    assert float(np.asarray(vm2.n).sum()) == 0.0
+    assert float(np.asarray(vm2.n()).sum()) == 0.0
 
 
 def test_plane_formation_matches_oracle(rng):
@@ -88,17 +88,17 @@ def test_plane_formation_matches_oracle(rng):
     )
     s = int(np.asarray(slot)[0])
     assert bool(np.asarray(found)[0])
-    assert bool(np.asarray(vm2.is_plane[0])[s])
-    normal = np.asarray(vm2.normal[0])[s]
+    assert bool(np.asarray(vm2.is_plane()[0])[s])
+    normal = np.asarray(vm2.normal()[0])[s]
     assert abs(abs(normal[2]) - 1.0) < 1e-3
 
     om = oracle.plane_fit(pts, var, 0.01)
     vc = (keys[0] + 0.5) * cfg.voxel_size
     np.testing.assert_allclose(
-        np.asarray(vm2.center_rel[0])[s] + vc, om["center"], atol=1e-4
+        np.asarray(vm2.center_rel()[0])[s] + vc, om["center"], atol=1e-4
     )
-    np.testing.assert_allclose(np.asarray(vm2.evals[0])[s], om["evals"], atol=1e-4)
-    pv = np.asarray(vm2.plane_var[0])[s].astype(np.float64)
+    np.testing.assert_allclose(np.asarray(vm2.evals()[0])[s], om["evals"], atol=1e-4)
+    pv = np.asarray(vm2.plane_var()[0])[s].astype(np.float64)
     sign = np.sign(normal @ om["normal"])
     if sign < 0:
         pv[0:3, 3:6] *= -1
@@ -206,15 +206,15 @@ def test_freeze_stops_accumulation(rng):
         vm, cfg, jnp.asarray(pts, dtype=jnp.float32),
         jnp.asarray(var, dtype=jnp.float32), jnp.ones(60, dtype=bool),
     )
-    n_before = np.asarray(vm.n[0]).sum()
-    frozen = np.asarray(vm.frozen[0])
+    n_before = np.asarray(vm.n()[0]).sum()
+    frozen = np.asarray(vm.frozen()[0])
     assert frozen.any()
     # Insert more points into the same voxel: count must not grow there.
     vm2 = vmap.insert_points(
         vm, cfg, jnp.asarray(pts[:20], dtype=jnp.float32),
         jnp.asarray(var[:20], dtype=jnp.float32), jnp.ones(20, dtype=bool),
     )
-    assert np.asarray(vm2.n[0])[frozen].sum() == np.asarray(vm.n[0])[frozen].sum()
+    assert np.asarray(vm2.n()[0])[frozen].sum() == np.asarray(vm.n()[0])[frozen].sum()
     assert n_before >= 60  # all points landed pre-freeze
 
 
