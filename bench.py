@@ -19,6 +19,11 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: TPU compiles of the full scan program are
+    # minutes-long; cache them across runs/rounds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from legkilo_tpu.config import Config

@@ -1,0 +1,112 @@
+"""Host packetizer: decimation, quantization, downsample, event assignment."""
+
+import numpy as np
+
+from legkilo_tpu.config import Config
+from legkilo_tpu.io import dataset as ds
+
+
+def make_cfg(nb=16, pmax=32, kmax=3):
+    cfg = Config()
+    cfg.lidar.filter_num = 2
+    cfg.lidar.blind = 1.0
+    cfg.lidar.voxel_grid_resolution = 0.4
+    cfg.tpu.max_buckets = nb
+    cfg.tpu.max_points_per_bucket = pmax
+    cfg.tpu.max_imu_per_bucket = kmax
+    cfg.only_imu_use = True
+    return cfg
+
+
+def test_decimate_blind(rng):
+    pts = rng.uniform(-5, 5, size=(100, 3)).astype(np.float32)
+    pts[5] = [0.1, 0.1, 0.1]  # inside blind radius
+    toff = np.linspace(0, 0.1, 100).astype(np.float32)
+    out_p, out_t = ds.decimate_blind(pts, toff, filter_num=2, blind=1.0)
+    # Every kept point has even index and is outside the blind radius
+    # (lidar_processing.cc:40-41).
+    assert len(out_p) <= 50
+    assert (np.linalg.norm(out_p, axis=1) > 1.0).all()
+
+
+def test_quantize_times():
+    t = np.array([0.0, 0.0012, 0.0011, 0.0030, 0.0999])
+    q = ds.quantize_times(t)
+    np.testing.assert_allclose(q, [0.0, 0.002, 0.002, 0.004, 0.1], atol=1e-9)
+
+
+def test_voxel_downsample_centroid(rng):
+    pts = np.array(
+        [[0.1, 0.1, 0.1], [0.3, 0.3, 0.3], [1.1, 0.1, 0.1]], dtype=np.float32
+    )
+    toff = np.array([0.0, 0.002, 0.004], dtype=np.float32)
+    out_p, out_t = ds.voxel_downsample(pts, toff, leaf=0.5)
+    assert len(out_p) == 2
+    order = np.argsort(out_p[:, 0])
+    np.testing.assert_allclose(out_p[order[0]], [0.2, 0.2, 0.2], atol=1e-6)
+    np.testing.assert_allclose(out_t[order[0]], 0.001, atol=1e-7)
+    np.testing.assert_allclose(out_p[order[1]], [1.1, 0.1, 0.1], atol=1e-6)
+
+
+def test_packet_shapes_and_event_assignment(rng):
+    cfg = make_cfg()
+    b = ds.PacketBuilder(cfg)
+    n = 600
+    pts = rng.uniform(2, 5, size=(n, 3)).astype(np.float32)
+    toff = np.sort(rng.uniform(0, 0.03, n)).astype(np.float32)
+    scan = ds.RawScan(begin_time=100.0, end_time=100.03, points=pts, time_offset=toff)
+    # IMU events: one before the first bucket, one mid-scan, one exactly at a
+    # bucket time (must go to the NEXT bucket: strict <, KILO.cc:381), one
+    # after the last bucket (dropped).
+    events = [
+        ds.ImuEvent(time=99.999, acc=np.ones(3), gyr=np.zeros(3)),
+        ds.ImuEvent(time=100.0101, acc=np.ones(3) * 2, gyr=np.zeros(3)),
+        ds.ImuEvent(time=100.029999, acc=np.ones(3) * 3, gyr=np.zeros(3)),
+    ]
+    pkt = b.build_packet(scan, events)
+    assert pkt.points.shape == (16, 32, 3)
+    assert pkt.bucket_mask.sum() >= 10
+    # Event 0 (before scan start) must be in bucket 0.
+    assert pkt.imu_mask[0, 0]
+    np.testing.assert_allclose(pkt.imu_time[0, 0], 99.999 - 100.0, atol=1e-6)
+    # All masked events have times strictly below their bucket's time.
+    for i in range(16):
+        if not pkt.bucket_mask[i]:
+            continue
+        for k in range(3):
+            if pkt.imu_mask[i, k]:
+                assert pkt.imu_time[i, k] < pkt.bucket_time[i] + 1e-9
+    # Total assigned + dropped == 3
+    assert pkt.imu_mask.sum() + pkt.dropped_events == 3
+
+
+def test_builder_lockstep_sync(rng):
+    """A scan is only released once events pass its end time
+    (syncPackage, ros_interface.cc:271-332)."""
+    cfg = make_cfg()
+    b = ds.PacketBuilder(cfg)
+    pts = rng.uniform(2, 4, size=(50, 3)).astype(np.float32)
+    toff = np.sort(rng.uniform(0, 0.02, 50)).astype(np.float32)
+    b.add_scan(ds.RawScan(begin_time=0.0, end_time=0.02, points=pts, time_offset=toff))
+    assert not b.ready()
+    b.add_imu(ds.ImuEvent(time=0.01, acc=np.zeros(3), gyr=np.zeros(3)))
+    assert not b.ready()
+    b.add_imu(ds.ImuEvent(time=0.03, acc=np.zeros(3), gyr=np.zeros(3)))
+    assert b.ready()
+    pkt = b.pop()
+    assert pkt is not None
+    # The 0.03 event stays queued for the next scan.
+    assert len(b._events) == 1
+
+
+def test_time_regression_clears_cache(rng):
+    """Monotonicity check clears the affected cache
+    (ros_interface.cc:175-182)."""
+    cfg = make_cfg()
+    b = ds.PacketBuilder(cfg)
+    pts = rng.uniform(2, 4, size=(10, 3)).astype(np.float32)
+    toff = np.zeros(10, dtype=np.float32)
+    b.add_scan(ds.RawScan(begin_time=5.0, end_time=5.02, points=pts, time_offset=toff))
+    b.add_scan(ds.RawScan(begin_time=1.0, end_time=1.02, points=pts, time_offset=toff))
+    assert len(b._scans) == 1  # regression cleared the earlier scan
+    assert b._scans[0].begin_time == 1.0

@@ -1,0 +1,110 @@
+"""TUM writer/ATE, PCD roundtrip, checkpoint/resume."""
+
+import numpy as np
+
+from legkilo_tpu.io import tum
+from legkilo_tpu.io.pcd import PcdSaver, read_pcd, write_pcd
+
+
+def test_tum_write_read_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "traj.txt")
+    rots, poss, times = [], [], []
+    with tum.TrajectoryWriter(path) as w:
+        for i in range(10):
+            import oracle
+
+            R = oracle.exp_so3(rng.normal(size=3))
+            p = rng.normal(size=3)
+            w.write(i * 0.1, R, p)
+            rots.append(R)
+            poss.append(p)
+            times.append(i * 0.1)
+    t, p, q = tum.read_tum(path)
+    np.testing.assert_allclose(t, times, atol=1e-9)
+    np.testing.assert_allclose(p, np.stack(poss), atol=1e-5)
+    # Quaternions renormalized & consistent with rotations.
+    for i in range(10):
+        x, y, z, w_ = q[i]
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w_ * z), 2 * (x * z + w_ * y)],
+            [2 * (x * y + w_ * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w_ * x)],
+            [2 * (x * z - w_ * y), 2 * (y * z + w_ * x), 1 - 2 * (x * x + y * y)],
+        ])
+        np.testing.assert_allclose(R, rots[i], atol=1e-4)
+
+
+def test_ate_alignment_invariance(rng):
+    import oracle
+
+    gt = rng.normal(size=(50, 3))
+    R = oracle.exp_so3(rng.normal(size=3))
+    t = rng.normal(size=3)
+    est = gt @ R.T + t  # rigidly transformed copy
+    assert tum.ate_rmse(est, gt, align=True) < 1e-6
+    assert tum.ate_rmse(est, gt, align=False) > 0.1
+
+
+def test_associate():
+    ta = np.array([0.0, 0.1, 0.2, 0.9])
+    tb = np.array([0.001, 0.101, 0.198, 0.5])
+    ia, ib = tum.associate(ta, tb, max_dt=0.02)
+    np.testing.assert_array_equal(ia, [0, 1, 2])
+    np.testing.assert_array_equal(ib, [0, 1, 2])
+
+
+def test_pcd_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    path = str(tmp_path / "cloud.pcd")
+    write_pcd(path, pts)
+    back = read_pcd(path)
+    np.testing.assert_allclose(back, pts, atol=1e-7)
+
+
+def test_pcd_saver_batches(tmp_path, rng):
+    saver = PcdSaver(directory=str(tmp_path), frames_per_file=3, leaf_size=0.05)
+    for _ in range(7):
+        saver.save(rng.normal(size=(50, 3)).astype(np.float32))
+    saver.close()
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(saver.directory, "*.pcd")))
+    assert len(files) == 3  # 3 + 3 + 1 (flush on close)
+    pts = read_pcd(files[0])
+    assert 1 <= len(pts) <= 150
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from legkilo_tpu.core.filter import StaticConfig, init_carry
+    from legkilo_tpu.core.voxel_map import MapConfig
+    from legkilo_tpu.io import checkpoint
+
+    scfg = StaticConfig(
+        map_cfg=MapConfig(
+            levels=2, capacity=256, probe=4, voxel_size=0.5,
+            planer_threshold=0.01, sigma_num=3.0, max_points_num=50,
+            init_num=(5, 5),
+        ),
+        use_kin=False, dept_err=0.04, beam_err=0.2,
+    )
+    carry = init_carry(scfg)
+    carry = carry._replace(
+        cov=carry.cov + 0.123,
+        vm=carry.vm._replace(meta=carry.vm.meta.at[0, 3, 0].set(7.0)),
+    )
+    path = checkpoint.save(str(tmp_path / "ckpt"), carry, step=42)
+    restored, step = checkpoint.load(path, init_carry(scfg))
+    assert step == 42
+    np.testing.assert_allclose(np.asarray(restored.cov), np.asarray(carry.cov))
+    assert float(restored.vm.meta[0, 3, 0]) == 7.0
+
+    # Shape mismatch (different config) must be rejected.
+    scfg_other = scfg._replace(map_cfg=scfg.map_cfg._replace(capacity=128))
+    try:
+        checkpoint.load(path, init_carry(scfg_other))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
