@@ -99,6 +99,7 @@ class TpuConfig:
     max_points_per_bucket: int = 128
     max_imu_per_bucket: int = 4    # padded IMU/kin event slots preceding a bucket
     requantize_buckets: bool = True  # snap post-downsample times back to 2ms grid
+    use_native: bool = True        # use native/libscanprep.so when built
     dtype: str = "float32"
 
 

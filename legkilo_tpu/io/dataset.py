@@ -91,8 +91,13 @@ def decimate_blind(
 
 
 def quantize_times(time_offset: np.ndarray) -> np.ndarray:
-    """Per-point 2 ms quantization: round(t*500)/500 (lidar_processing.cc:48)."""
-    return np.round(time_offset * 500.0) / 500.0
+    """Per-point 2 ms quantization: round(t*500)/500 (lidar_processing.cc:48).
+
+    Uses half-away-from-zero rounding (C++ std::round semantics; time
+    offsets are non-negative so floor(x + 0.5) is equivalent) — NOT numpy's
+    banker's rounding — to stay bit-compatible with the native library.
+    """
+    return np.floor(time_offset * 500.0 + 0.5) / 500.0
 
 
 def voxel_downsample(
@@ -181,45 +186,59 @@ class PacketBuilder:
 
     def build_packet(self, scan: RawScan, events: Sequence) -> HostPacket:
         cfg = self.cfg
-        pts, toff = decimate_blind(
-            scan.points, scan.time_offset, cfg.lidar.filter_num, cfg.lidar.blind
-        )
-        toff = quantize_times(toff)
-        pts, toff = voxel_downsample(pts, toff, cfg.lidar.voxel_grid_resolution)
-        if cfg.tpu.requantize_buckets:
-            # Snap averaged centroid times back to the 2 ms grid so the
-            # bucket count stays ~scan_duration/2ms instead of exploding into
-            # singletons (TPU-native choice; see SURVEY.md §3.3 notes).
+        native_out = None
+        if cfg.tpu.use_native:
+            from . import native
+
+            native_out = native.process_scan(
+                scan.points, scan.time_offset,
+                cfg.lidar.filter_num, cfg.lidar.blind,
+                cfg.lidar.voxel_grid_resolution, cfg.tpu.requantize_buckets,
+                self.nb, self.pmax,
+            )
+        if native_out is not None:
+            bucket_time, bucket_mask, points, point_mask, _, dropped_points = native_out
+            n_buckets = int(bucket_mask.sum())
+        else:
+            pts, toff = decimate_blind(
+                scan.points, scan.time_offset, cfg.lidar.filter_num, cfg.lidar.blind
+            )
             toff = quantize_times(toff)
+            pts, toff = voxel_downsample(pts, toff, cfg.lidar.voxel_grid_resolution)
+            if cfg.tpu.requantize_buckets:
+                # Snap averaged centroid times back to the 2 ms grid so the
+                # bucket count stays ~scan_duration/2ms instead of exploding
+                # into singletons (TPU-native choice; see SURVEY.md §3.3).
+                toff = quantize_times(toff)
 
-        order = np.argsort(toff, kind="stable")
-        pts, toff = pts[order], toff[order]
-        b_times, b_start = np.unique(toff, return_index=True)
-        n_buckets = len(b_times)
-        dropped_points = 0
-        if n_buckets > self.nb:
-            # Keep the first nb buckets; count the dropped tail.
-            cut = b_start[self.nb]
-            dropped_points += len(pts) - cut
-            pts, toff = pts[:cut], toff[:cut]
-            b_times, b_start = b_times[: self.nb], b_start[: self.nb]
-            n_buckets = self.nb
-        b_end = np.append(b_start[1:], len(pts))
+            order = np.argsort(toff, kind="stable")
+            pts, toff = pts[order], toff[order]
+            b_times, b_start = np.unique(toff, return_index=True)
+            n_buckets = len(b_times)
+            dropped_points = 0
+            if n_buckets > self.nb:
+                # Keep the first nb buckets; count the dropped tail.
+                cut = b_start[self.nb]
+                dropped_points += len(pts) - cut
+                pts, toff = pts[:cut], toff[:cut]
+                b_times, b_start = b_times[: self.nb], b_start[: self.nb]
+                n_buckets = self.nb
+            b_end = np.append(b_start[1:], len(pts))
 
-        points = np.zeros((self.nb, self.pmax, 3), dtype=np.float32)
-        point_mask = np.zeros((self.nb, self.pmax), dtype=bool)
-        bucket_time = np.zeros(self.nb, dtype=np.float32)
-        bucket_mask = np.zeros(self.nb, dtype=bool)
-        for i in range(n_buckets):
-            s, e = b_start[i], b_end[i]
-            cnt = e - s
-            if cnt > self.pmax:
-                dropped_points += cnt - self.pmax
-                cnt = self.pmax
-            points[i, :cnt] = pts[s : s + cnt]
-            point_mask[i, :cnt] = True
-            bucket_time[i] = b_times[i]
-            bucket_mask[i] = True
+            points = np.zeros((self.nb, self.pmax, 3), dtype=np.float32)
+            point_mask = np.zeros((self.nb, self.pmax), dtype=bool)
+            bucket_time = np.zeros(self.nb, dtype=np.float32)
+            bucket_mask = np.zeros(self.nb, dtype=bool)
+            for i in range(n_buckets):
+                s, e = b_start[i], b_end[i]
+                cnt = e - s
+                if cnt > self.pmax:
+                    dropped_points += cnt - self.pmax
+                    cnt = self.pmax
+                points[i, :cnt] = pts[s : s + cnt]
+                point_mask[i, :cnt] = True
+                bucket_time[i] = b_times[i]
+                bucket_mask[i] = True
 
         # Assign events: an event goes before the first bucket whose absolute
         # time exceeds it (KILO.cc:380-390); events at/after the last bucket
