@@ -7,11 +7,16 @@ Baseline: the reference's in-repo claim of 5-20 ms single-frame processing
 (/root/reference/README.md:27-28; BASELINE.md).  vs_baseline is computed
 against the midpoint-of-claim 12.5 ms: vs_baseline = 12.5 / ours (>1 means
 faster than the reference's average claim).
+
+Measures the deferred pipeline with the fused Pallas ESKF chain (the
+production fast path); set LEGKILO_BENCH_PIPELINE=sequential to bench the
+reference-faithful rollout instead.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -48,11 +53,14 @@ def main() -> None:
 
     data = sim.simulate(sim.SimConfig(duration=6.0, scan_points=8000, seed=7))
 
+    pipeline = os.environ.get("LEGKILO_BENCH_PIPELINE", "deferred")
     scfg = StaticConfig(
         map_cfg=map_config_from(cfg.voxel_map),
         use_kin=False,
         dept_err=cfg.voxel_map.dept_err,
         beam_err=cfg.voxel_map.beam_err,
+        pipeline=pipeline,
+        use_pallas=(pipeline == "deferred"),
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
@@ -71,7 +79,11 @@ def main() -> None:
             packets.append(builder.pop())
     assert len(packets) >= 40, f"only {len(packets)} packets"
 
-    step = jax.jit(process_scan, static_argnums=3)
+    if pipeline == "deferred":
+        from legkilo_tpu.core.filter_deferred import process_scan_deferred as step_fn
+    else:
+        step_fn = process_scan
+    step = jax.jit(step_fn, static_argnums=3)
     carry = init_carry(scfg)
 
     dev_packets = [to_device_packet(p) for p in packets]

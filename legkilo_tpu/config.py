@@ -100,6 +100,8 @@ class TpuConfig:
     max_imu_per_bucket: int = 4    # padded IMU/kin event slots preceding a bucket
     requantize_buckets: bool = True  # snap post-downsample times back to 2ms grid
     use_native: bool = True        # use native/libscanprep.so when built
+    pipeline: str = "sequential"   # "sequential" (reference-faithful) | "deferred"
+    use_pallas: bool = False       # deferred mode: fused Pallas ESKF chain
     dtype: str = "float32"
 
 
@@ -168,6 +170,9 @@ _TPU_KEY_MAP = {
     "tpu_max_points_per_bucket": "max_points_per_bucket",
     "tpu_max_imu_per_bucket": "max_imu_per_bucket",
     "tpu_requantize_buckets": "requantize_buckets",
+    "tpu_use_native": "use_native",
+    "tpu_pipeline": "pipeline",
+    "tpu_use_pallas": "use_pallas",
     "tpu_dtype": "dtype",
 }
 

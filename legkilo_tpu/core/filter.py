@@ -79,6 +79,11 @@ class StaticConfig(NamedTuple):
     sliding_thresh: float = 8.0
     half_map_size: int = 100
     return_cloud: bool = False
+    # "sequential": reference-faithful per-bucket rollout (lax.scan).
+    # "deferred": batched match / deferred insert pipeline built for
+    #             high-kernel-overhead targets (see filter_deferred.py).
+    pipeline: str = "sequential"
+    use_pallas: bool = False  # deferred mode: fuse the ESKF chain in Pallas
 
 
 class FilterCarry(NamedTuple):
@@ -127,8 +132,16 @@ def init_state_from_imu(
     acc_norm = jnp.linalg.norm(mean_acc)
     st = make_state(dtype=dtype)
     lin = st.lin
-    lin = lin.at[12:15].set(-mean_acc / acc_norm * gravity)  # grav
+    grav = -mean_acc / acc_norm * gravity
+    lin = lin.at[12:15].set(grav)                             # grav
     lin = lin.at[9:12].set(mean_gyr)                          # bw
+    # Latch the rest-consistent specific force so the model does not
+    # free-fall while the first IMU updates converge: at rest
+    # vel' = R imu_a + grav = 0 requires imu_a = -grav (rot = I).  The
+    # reference leaves imu_a at zero and rides out the transient
+    # (state_initial.hpp:62-71); initializing consistently removes the
+    # early-trajectory dip for both pipelines.
+    lin = lin.at[15:18].set(-grav)                            # imu_a
     st = State(rot=st.rot, lin=lin)
     return (
         carry._replace(

@@ -1,0 +1,297 @@
+"""Fused Pallas kernel: the entire per-scan ESKF chain in ONE kernel.
+
+The sequential predict/update recursion over ~56 time-buckets is the
+latency floor of the filter: expressed in plain XLA it emits ~20 small
+kernels per bucket, and on targets with tens-of-microseconds kernel-launch
+overhead that alone costs hundreds of milliseconds per scan.  This kernel
+runs the complete chain — per-bucket covariance/mean propagation
+(eskf.cc:64-89), the structured IMU update (eskf.cc:125-135), and the
+information-form LiDAR point update (the 6x6-solve equivalent of
+eskf.cc:91-123) — inside a single ``pallas_call``: every 30x30 product hits
+the MXU, the 6x6 inverses are unrolled Gauss-Jordan on the VPU, and all
+state stays in VMEM for the whole scan.
+
+Semantics are identical to filter_deferred._chain_jax (IMU mode); the
+equivalence test is tests/test_pallas_chain.py.  Kinematic mode currently
+uses the lax.scan chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.filter import FilterCarry
+from ...core.state import State
+
+_R_JITTER = 1e-4  # matches eskf._R_JITTER / the reference's eskf.cc:100
+
+
+# --------------------------- in-kernel math --------------------------------
+
+
+def _skew(v):
+    x, y, z = v[0], v[1], v[2]
+    return jnp.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]], dtype=v.dtype)
+
+
+def _exp3(w):
+    t2 = jnp.sum(w * w)
+    t = jnp.sqrt(t2)
+    small = t < 1e-6
+    ts = jnp.where(small, 1.0, t)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(ts) / ts)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(ts)) / (ts * ts))
+    K = _skew(w)
+    return jnp.eye(3, dtype=w.dtype) + a * K + b * jnp.dot(K, K, preferred_element_type=jnp.float32)
+
+
+def _inv_gj(M, n):
+    """Unrolled Gauss-Jordan inverse of an n x n matrix (no pivoting; the
+    innovation matrices here are identity-plus-PSD so diagonals stay away
+    from zero)."""
+    A = jnp.concatenate([M, jnp.eye(n, dtype=M.dtype)], axis=1)  # [n, 2n]
+    for k in range(n):
+        piv = A[k, k]
+        row = A[k] / piv
+        A = A.at[k].set(row)
+        col = A[:, k].at[k].set(0.0)
+        A = A - col[:, None] * row[None, :]
+    return A[:, n:]
+
+
+def _boxplus(rot, lin, dx):
+    rot = jnp.dot(rot, _exp3(dx[0:3]), preferred_element_type=jnp.float32)
+    return rot, lin + dx[3:30]
+
+
+def _predict(rot, lin, cov, q_diag, dt_mean, dt_cov):
+    """predict (eskf.cc:64-89) with the dual-clock call pattern."""
+    imu_a = lin[15:18]
+    imu_w = lin[18:21]
+    dtype = cov.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    # Covariance with dt_cov using the pre-propagation state.
+    F = jnp.eye(30, dtype=dtype)
+    F = F.at[0:3, 0:3].set(_exp3(-dt_cov * imu_w))
+    F = F.at[0:3, 21:24].set(dt_cov * eye3)
+    F = F.at[3:6, 6:9].set(dt_cov * eye3)
+    F = F.at[6:9, 0:3].set(
+        -dt_cov * jnp.dot(rot, _skew(imu_a), preferred_element_type=dtype)
+    )
+    F = F.at[6:9, 15:18].set(dt_cov * eye3)
+    F = F.at[6:9, 18:21].set(dt_cov * rot)
+    cov = jnp.dot(
+        jnp.dot(F, cov, preferred_element_type=dtype), F.T,
+        preferred_element_type=dtype,
+    )
+    idx = jnp.arange(30)
+    cov = cov.at[idx, idx].add(dt_cov * dt_cov * q_diag)
+
+    # Mean with dt_mean.
+    dx = jnp.zeros((30,), dtype=dtype)
+    dx = dx.at[0:3].set(dt_mean * imu_w)
+    dx = dx.at[3:6].set(dt_mean * lin[3:6])
+    acc_w = jnp.dot(rot, imu_a, preferred_element_type=dtype) + lin[12:15]
+    dx = dx.at[6:9].set(dt_mean * acc_w)
+    rot, lin = _boxplus(rot, lin, dx)
+    return rot, lin, cov
+
+
+def _update_imu(rot, lin, cov, acc, gyr, imu_r, g_over_an, gate):
+    """Structured IMU update (eskf.cc:125-135), gain gated for padded slots."""
+    dtype = cov.dtype
+    za = g_over_an * acc - lin[15:18] - lin[6:9]
+    zg = gyr - lin[18:21] - lin[9:12]
+    z6 = jnp.concatenate([za, zg])
+    pht = cov[:, 9:15] + cov[:, 18:24]
+    hp = cov[9:15, :] + cov[18:24, :]
+    s = pht[9:15, :] + pht[18:24, :]
+    s = s.at[jnp.arange(6), jnp.arange(6)].add(imu_r)
+    k = jnp.dot(pht, _inv_gj(s, 6), preferred_element_type=dtype) * gate
+    dx = jnp.dot(k, z6, preferred_element_type=dtype)
+    rot, lin = _boxplus(rot, lin, dx)
+    cov = cov - jnp.dot(k, hp, preferred_element_type=dtype)
+    return rot, lin, cov
+
+
+def _update_points(rot, lin, cov, pi, n, nd, r, m):
+    """Information-form point update (cf. eskf.update_by_points)."""
+    dtype = cov.dtype
+    rt_n = jnp.dot(n, rot, preferred_element_type=dtype)          # [P,3] R^T n
+    cr_u = jnp.cross(pi, rt_n)                                    # [p_i]x R^T n
+    h6 = jnp.concatenate([cr_u, n], axis=1)                       # [P,6]
+    p_w = jnp.dot(pi, rot.T, preferred_element_type=dtype) + lin[0:3]
+    z = -(jnp.sum(n * p_w, axis=1) - nd)                          # [P]
+    w = m / (r + _R_JITTER)
+    hw = h6 * w[:, None]
+    A = jnp.dot(hw.T, h6, preferred_element_type=dtype)           # [6,6]
+    b6 = jnp.dot(hw.T, z, preferred_element_type=dtype)           # [6]
+    p66 = cov[0:6, 0:6]
+    g6 = _inv_gj(jnp.eye(6, dtype=dtype) + jnp.dot(A, p66, preferred_element_type=dtype), 6)
+    p_left = cov[:, 0:6]
+    dx = jnp.dot(p_left, jnp.dot(g6, b6, preferred_element_type=dtype),
+                 preferred_element_type=dtype)
+    ga = jnp.dot(g6, A, preferred_element_type=dtype)
+    khp = jnp.dot(jnp.dot(p_left, ga, preferred_element_type=dtype), cov[0:6, :],
+                  preferred_element_type=dtype)
+
+    did = jnp.sum(m) > 0.5
+    didf = did.astype(dtype)
+    rot2, lin2 = _boxplus(rot, lin, dx * didf)
+    cov2 = cov - khp * didf
+    return rot2, lin2, cov2, did, jnp.sum(m)
+
+
+# ------------------------------ the kernel ----------------------------------
+
+
+def _chain_kernel(
+    # scalars / small params
+    params_ref,    # [1, 40]: q_diag(30), imu_r(6), g_over_an, pad
+    clocks_ref,    # [1, 2]: last_predict_t, last_update_t
+    rot0_ref,      # [3, 3]
+    lin0_ref,      # [1, 27]
+    cov0_ref,      # [30, 30]
+    # per-bucket data
+    btime_ref,     # [NB, 1]
+    bgate_ref,     # [NB, 1]
+    etime_ref,     # [NB, K]
+    egate_ref,     # [NB, K]
+    eacc_ref,      # [NB, K, 3]
+    egyr_ref,      # [NB, K, 3]
+    pi_ref,        # [NB, P, 3]
+    n_ref,         # [NB, P, 3]
+    nd_ref,        # [NB, P]  n . center
+    r_ref,         # [NB, P]
+    m_ref,         # [NB, P]  matched mask (f32 0/1)
+    # outputs
+    orot_ref,      # [NB, 3, 3]
+    opos_ref,      # [NB, 3]
+    orotcov_ref,   # [NB, 3, 3]
+    oposcov_ref,   # [NB, 3, 3]
+    onm_ref,       # [NB, 1]
+    frot_ref,      # [3, 3]
+    flin_ref,      # [1, 27]
+    fcov_ref,      # [30, 30]
+    fclocks_ref,   # [1, 2]
+):
+    nb = btime_ref.shape[0]
+    kmax = etime_ref.shape[1]
+    q_diag = params_ref[0, 0:30]
+    imu_r = params_ref[0, 30:36]
+    g_over_an = params_ref[0, 36]
+
+    def bucket_body(b, carry):
+        rot, lin, cov, lp, lu = carry
+        for k in range(kmax):
+            t = etime_ref[b, k]
+            g = egate_ref[b, k]
+            rot, lin, cov = _predict(rot, lin, cov, q_diag, (t - lp) * g, (t - lu) * g)
+            rot, lin, cov = _update_imu(
+                rot, lin, cov, eacc_ref[b, k], egyr_ref[b, k], imu_r, g_over_an, g
+            )
+            lp = jnp.where(g > 0.5, t, lp)
+            lu = jnp.where(g > 0.5, t, lu)
+
+        t = btime_ref[b, 0]
+        g = bgate_ref[b, 0]
+        rot, lin, cov = _predict(rot, lin, cov, q_diag, (t - lp) * g, (t - lu) * g)
+        lp = jnp.where(g > 0.5, t, lp)
+        mvec = m_ref[b] * g
+        rot, lin, cov, did, nm = _update_points(
+            rot, lin, cov, pi_ref[b], n_ref[b], nd_ref[b], r_ref[b], mvec
+        )
+        lu = jnp.where((g > 0.5) & did, t, lu)
+
+        orot_ref[b] = rot
+        opos_ref[b] = lin[0:3]
+        orotcov_ref[b] = cov[0:3, 0:3]
+        oposcov_ref[b] = cov[3:6, 3:6]
+        onm_ref[b, 0] = nm
+        return rot, lin, cov, lp, lu
+
+    rot, lin, cov, lp, lu = jax.lax.fori_loop(
+        0, nb, bucket_body,
+        (rot0_ref[:], lin0_ref[0], cov0_ref[:], clocks_ref[0, 0], clocks_ref[0, 1]),
+    )
+    frot_ref[:] = rot
+    flin_ref[0] = lin
+    fcov_ref[:] = cov
+    fclocks_ref[0, 0] = lp
+    fclocks_ref[0, 1] = lu
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chain_call(params_vec, clocks, rot0, lin0, cov0, btime, bgate,
+                etime, egate, eacc, egyr, pi, n, nd, r, m, interpret=False):
+    nb = btime.shape[0]
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((nb, 3, 3), f32),   # orot
+        jax.ShapeDtypeStruct((nb, 3), f32),      # opos
+        jax.ShapeDtypeStruct((nb, 3, 3), f32),   # orotcov
+        jax.ShapeDtypeStruct((nb, 3, 3), f32),   # oposcov
+        jax.ShapeDtypeStruct((nb, 1), f32),      # onm
+        jax.ShapeDtypeStruct((3, 3), f32),       # frot
+        jax.ShapeDtypeStruct((1, 27), f32),      # flin
+        jax.ShapeDtypeStruct((30, 30), f32),     # fcov
+        jax.ShapeDtypeStruct((1, 2), f32),       # fclocks
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _chain_kernel,
+        out_shape=out_shapes,
+        in_specs=[vmem] * 16,
+        out_specs=(vmem,) * 9,
+        interpret=interpret,
+    )(params_vec, clocks, rot0, lin0, cov0, btime, bgate,
+      etime, egate, eacc, egyr, pi, n, nd, r, m)
+
+
+def run_chain(
+    carry: FilterCarry,
+    packet,
+    params,
+    p_i: jnp.ndarray,
+    normal: jnp.ndarray,
+    center: jnp.ndarray,
+    r_meas: jnp.ndarray,
+    matched: jnp.ndarray,
+) -> Tuple[FilterCarry, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drive the fused chain kernel; same contract as _chain_jax (IMU mode)."""
+    f32 = jnp.float32
+    nb = packet.bucket_time.shape[0]
+    params_vec = jnp.zeros((1, 40), dtype=f32)
+    params_vec = params_vec.at[0, 0:30].set(params.noise.q_diag)
+    params_vec = params_vec.at[0, 30:36].set(params.noise.imu_meas_r)
+    params_vec = params_vec.at[0, 36].set(params.g_over_acc_norm)
+    clocks = jnp.stack([carry.last_predict_t, carry.last_update_t]).reshape(1, 2)
+
+    nd = jnp.sum(normal * center, axis=-1)  # [NB, P]
+    interpret = jax.default_backend() == "cpu"
+    (orot, opos, orotcov, oposcov, onm, frot, flin, fcov, fclocks) = _chain_call(
+        params_vec, clocks,
+        carry.state.rot, carry.state.lin.reshape(1, 27), carry.cov,
+        packet.bucket_time.reshape(nb, 1).astype(f32),
+        packet.bucket_mask.reshape(nb, 1).astype(f32),
+        packet.imu_time.astype(f32),
+        packet.imu_mask.astype(f32),
+        packet.imu_acc.astype(f32),
+        packet.imu_gyr.astype(f32),
+        p_i, normal, nd, r_meas, matched.astype(f32),
+        interpret=interpret,
+    )
+    new_carry = carry._replace(
+        state=State(rot=frot, lin=flin[0]),
+        cov=fcov,
+        last_predict_t=fclocks[0, 0],
+        last_update_t=fclocks[0, 1],
+    )
+    return new_carry, orot, opos, orotcov, oposcov, onm[:, 0].astype(jnp.int32)

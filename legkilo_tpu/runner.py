@@ -72,6 +72,8 @@ class OdometryRunner:
             sliding_thresh=float(cfg.voxel_map.sliding_thresh),
             half_map_size=int(cfg.voxel_map.half_map_size),
             return_cloud=return_cloud,
+            pipeline=cfg.tpu.pipeline,
+            use_pallas=bool(cfg.tpu.use_pallas),
         )
         ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float64).reshape(3, 3)
         ext_t = np.asarray(cfg.extrinsic_T, dtype=np.float64)
@@ -87,7 +89,12 @@ class OdometryRunner:
         # NOTE: donation of the carry (to update the ~100 MB map in place) is
         # deferred to the perf pass — host-constructed carries can alias
         # leaves, which XLA rejects when donated.
-        self._step = jax.jit(process_scan, static_argnums=3)
+        if self.scfg.pipeline == "deferred":
+            from .core.filter_deferred import process_scan_deferred
+
+            self._step = jax.jit(process_scan_deferred, static_argnums=3)
+        else:
+            self._step = jax.jit(process_scan, static_argnums=3)
         self._first_map = jax.jit(first_frame_map, static_argnums=1)
         self.results: List[ScanResult] = []
 

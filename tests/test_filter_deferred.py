@@ -1,0 +1,68 @@
+"""Deferred pipeline: must track ground truth like the sequential rollout."""
+
+import numpy as np
+import pytest
+
+from legkilo_tpu.config import Config
+from legkilo_tpu.io.tum import ate_rmse
+from legkilo_tpu.models import sim
+from legkilo_tpu.runner import run_offline
+
+
+def make_config(pipeline, only_imu=True, use_pallas=False):
+    cfg = Config()
+    cfg.only_imu_use = only_imu
+    cfg.lidar.filter_num = 1
+    cfg.lidar.blind = 0.3
+    cfg.lidar.voxel_grid_resolution = 0.4
+    cfg.voxel_map.capacity_log2 = 13
+    cfg.tpu.max_buckets = 56
+    cfg.tpu.max_points_per_bucket = 96
+    cfg.tpu.max_imu_per_bucket = 3
+    cfg.tpu.pipeline = pipeline
+    cfg.tpu.use_pallas = use_pallas
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def simdata():
+    return sim.simulate(sim.SimConfig(duration=5.0, scan_points=3000, seed=3))
+
+
+def run_ate(cfg, simdata, events):
+    results = run_offline(cfg, simdata.scans, events)
+    assert len(results) >= 45
+    est_t = np.array([r.time for r in results])
+    est_p = np.stack([r.pos for r in results])
+    _, gt_pos_f = simdata.gt_in_filter_frame()
+    gtm = {round(t, 6): i for i, t in enumerate(simdata.gt_times)}
+    sel = [i for i, t in enumerate(est_t) if round(t, 6) in gtm]
+    idx = [gtm[round(est_t[i], 6)] for i in sel]
+    ratios = [
+        r.n_matched / max(r.n_points, 1) for r in results[len(results) // 2 :]
+    ]
+    return ate_rmse(est_p[sel], gt_pos_f[idx], align=False), float(np.mean(ratios))
+
+
+def test_deferred_imu_tracks_ground_truth(simdata):
+    err, ratio = run_ate(make_config("deferred"), simdata, simdata.imu)
+    assert ratio > 0.5, f"match ratio {ratio:.2f}"
+    assert err < 0.08, f"ATE {err:.3f} m"
+
+
+def test_deferred_kin_tracks_ground_truth(simdata):
+    err, ratio = run_ate(
+        make_config("deferred", only_imu=False), simdata, simdata.kin
+    )
+    assert err < 0.08, f"ATE {err:.3f} m"
+
+
+def test_deferred_close_to_sequential(simdata):
+    """Pipelines share semantics: trajectories must agree closely."""
+    res_s = run_offline(make_config("sequential"), simdata.scans, simdata.imu)
+    res_d = run_offline(make_config("deferred"), simdata.scans, simdata.imu)
+    ps = np.stack([r.pos for r in res_s])
+    pd = np.stack([r.pos for r in res_d])
+    n = min(len(ps), len(pd))
+    diff = np.linalg.norm(ps[:n] - pd[:n], axis=-1)
+    assert diff.max() < 0.05, f"max pipeline divergence {diff.max():.3f} m"
