@@ -53,6 +53,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         )
 
     n_msgs = 0
+    last_acc_z = last_gyr_z = None  # redundancy rejection state
     t0 = time.perf_counter()
     with bag_mod.BagReader(args.bag) as reader:
         topics = [cfg.lidar_topic, cfg.imu_topic, cfg.kinematic_topic]
@@ -64,12 +65,28 @@ def cmd_run(args: argparse.Namespace) -> int:
                 results = runner.add_scan(scan)
             elif msg.topic == cfg.imu_topic and cfg.only_imu_use:
                 imu = bag_mod.parse_imu(msg.raw)
+                # 500 Hz publish / 50 Hz effective: drop exact-duplicate
+                # samples (redundancy, ros_interface.cc:198-204).
+                if cfg.redundancy and (
+                    imu.linear_acceleration[2] == last_acc_z
+                    and imu.angular_velocity[2] == last_gyr_z
+                ):
+                    continue
+                last_acc_z = imu.linear_acceleration[2]
+                last_gyr_z = imu.angular_velocity[2]
                 results = runner.add_imu(
                     ImuEvent(time=imu.stamp, acc=imu.linear_acceleration,
                              gyr=imu.angular_velocity)
                 )
             elif msg.topic == cfg.kinematic_topic and not cfg.only_imu_use:
                 hs = bag_mod.parse_high_state(msg.raw)
+                if cfg.redundancy and (
+                    hs.accelerometer[2] == last_acc_z
+                    and hs.gyroscope[2] == last_gyr_z
+                ):
+                    continue
+                last_acc_z = hs.accelerometer[2]
+                last_gyr_z = hs.gyroscope[2]
                 results = runner.add_kin_imu(
                     kin.processing(HighState(
                         stamp=hs.stamp, accelerometer=hs.accelerometer,
@@ -94,6 +111,13 @@ def cmd_run(args: argparse.Namespace) -> int:
         writer.close()
     if pcd is not None:
         pcd.close()
+    if args.export_planes:
+        from .io.plane_export import export_plane_map
+
+        n_planes = export_plane_map(
+            runner.carry.vm, runner.scfg.map_cfg, args.export_planes
+        )
+        log.info("Exported %d planes to %s", n_planes, args.export_planes)
     wall = time.perf_counter() - t0
     log.info("Replayed %d messages, %d scans in %.1fs", n_msgs, len(runner.results), wall)
     Timer.log_all_average_time()
@@ -200,9 +224,9 @@ def cmd_sweep(args: argparse.Namespace) -> int:
 
 
 def main(argv=None) -> int:
-    logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(levelname).1s %(name)s: %(message)s"
-    )
+    from .utils.logging import setup as setup_logging
+
+    setup_logging(log_dir="logs")
     ap = argparse.ArgumentParser(prog="legkilo_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -211,6 +235,10 @@ def main(argv=None) -> int:
     p_run.add_argument("--bag", required=True)
     p_run.add_argument("--traj_out", default=None)
     p_run.add_argument("--save_pcd", default=None, help="PCD output directory")
+    p_run.add_argument(
+        "--export_planes", default=None,
+        help="write the voxel plane map as a colored PLY mesh",
+    )
     p_run.set_defaults(fn=cmd_run)
 
     p_sim = sub.add_parser("sim", help="synthetic end-to-end replay")
