@@ -132,6 +132,10 @@ def cmd_sim(args: argparse.Namespace) -> int:
     cfg = _load_config(args.config_file)
     cfg.lidar.filter_num = 1
     cfg.lidar.blind = 0.3
+    if args.pipeline:
+        cfg.tpu.pipeline = args.pipeline
+    if args.pallas:
+        cfg.tpu.use_pallas = True
     data = sim_mod.simulate(
         sim_mod.SimConfig(duration=args.duration, scan_points=args.scan_points)
     )
@@ -246,6 +250,10 @@ def main(argv=None) -> int:
     p_sim.add_argument("--duration", type=float, default=5.0)
     p_sim.add_argument("--scan_points", type=int, default=4000)
     p_sim.add_argument("--traj_out", default=None)
+    p_sim.add_argument("--pipeline", default=None,
+                       choices=["sequential", "deferred"])
+    p_sim.add_argument("--pallas", action="store_true",
+                       help="deferred mode: use the fused Pallas ESKF chain")
     p_sim.set_defaults(fn=cmd_sim)
 
     p_sw = sub.add_parser("sweep", help="Monte-Carlo fleet replay")

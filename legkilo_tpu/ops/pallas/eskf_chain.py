@@ -91,8 +91,8 @@ def _predict(rot, lin, cov, q_diag, dt_mean, dt_cov):
         jnp.dot(F, cov, preferred_element_type=dtype), F.T,
         preferred_element_type=dtype,
     )
-    idx = jnp.arange(30)
-    cov = cov.at[idx, idx].add(dt_cov * dt_cov * q_diag)
+    # Diagonal add without a scatter (unsupported in Pallas TPU lowering).
+    cov = cov + (dt_cov * dt_cov) * (jnp.eye(30, dtype=dtype) * q_diag[None, :])
 
     # Mean with dt_mean.
     dx = jnp.zeros((30,), dtype=dtype)
@@ -113,7 +113,7 @@ def _update_imu(rot, lin, cov, acc, gyr, imu_r, g_over_an, gate):
     pht = cov[:, 9:15] + cov[:, 18:24]
     hp = cov[9:15, :] + cov[18:24, :]
     s = pht[9:15, :] + pht[18:24, :]
-    s = s.at[jnp.arange(6), jnp.arange(6)].add(imu_r)
+    s = s + jnp.eye(6, dtype=dtype) * imu_r[None, :]
     k = jnp.dot(pht, _inv_gj(s, 6), preferred_element_type=dtype) * gate
     dx = jnp.dot(k, z6, preferred_element_type=dtype)
     rot, lin = _boxplus(rot, lin, dx)
@@ -121,11 +121,21 @@ def _update_imu(rot, lin, cov, acc, gyr, imu_r, g_over_an, gate):
     return rot, lin, cov
 
 
+def _cross_rows(a, b):
+    """Row-wise cross product via explicit components (keeps the Pallas
+    lowering free of fancy-indexing primitives)."""
+    ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
+    bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=1
+    )
+
+
 def _update_points(rot, lin, cov, pi, n, nd, r, m):
     """Information-form point update (cf. eskf.update_by_points)."""
     dtype = cov.dtype
     rt_n = jnp.dot(n, rot, preferred_element_type=dtype)          # [P,3] R^T n
-    cr_u = jnp.cross(pi, rt_n)                                    # [p_i]x R^T n
+    cr_u = _cross_rows(pi, rt_n)                                  # [p_i]x R^T n
     h6 = jnp.concatenate([cr_u, n], axis=1)                       # [P,6]
     p_w = jnp.dot(pi, rot.T, preferred_element_type=dtype) + lin[0:3]
     z = -(jnp.sum(n * p_w, axis=1) - nd)                          # [P]
@@ -190,31 +200,37 @@ def _chain_kernel(
 
     def bucket_body(b, carry):
         rot, lin, cov, lp, lu = carry
+        etime = etime_ref[pl.ds(b, 1)][0]      # [K]
+        egate = egate_ref[pl.ds(b, 1)][0]
+        eacc = eacc_ref[pl.ds(b, 1)][0]        # [K, 3]
+        egyr = egyr_ref[pl.ds(b, 1)][0]
         for k in range(kmax):
-            t = etime_ref[b, k]
-            g = egate_ref[b, k]
+            t = etime[k]
+            g = egate[k]
             rot, lin, cov = _predict(rot, lin, cov, q_diag, (t - lp) * g, (t - lu) * g)
             rot, lin, cov = _update_imu(
-                rot, lin, cov, eacc_ref[b, k], egyr_ref[b, k], imu_r, g_over_an, g
+                rot, lin, cov, eacc[k], egyr[k], imu_r, g_over_an, g
             )
             lp = jnp.where(g > 0.5, t, lp)
             lu = jnp.where(g > 0.5, t, lu)
 
-        t = btime_ref[b, 0]
-        g = bgate_ref[b, 0]
+        t = btime_ref[pl.ds(b, 1)][0, 0]
+        g = bgate_ref[pl.ds(b, 1)][0, 0]
         rot, lin, cov = _predict(rot, lin, cov, q_diag, (t - lp) * g, (t - lu) * g)
         lp = jnp.where(g > 0.5, t, lp)
-        mvec = m_ref[b] * g
+        mvec = m_ref[pl.ds(b, 1)][0] * g
         rot, lin, cov, did, nm = _update_points(
-            rot, lin, cov, pi_ref[b], n_ref[b], nd_ref[b], r_ref[b], mvec
+            rot, lin, cov,
+            pi_ref[pl.ds(b, 1)][0], n_ref[pl.ds(b, 1)][0],
+            nd_ref[pl.ds(b, 1)][0], r_ref[pl.ds(b, 1)][0], mvec,
         )
         lu = jnp.where((g > 0.5) & did, t, lu)
 
-        orot_ref[b] = rot
-        opos_ref[b] = lin[0:3]
-        orotcov_ref[b] = cov[0:3, 0:3]
-        oposcov_ref[b] = cov[3:6, 3:6]
-        onm_ref[b, 0] = nm
+        orot_ref[pl.ds(b, 1)] = rot[None]
+        opos_ref[pl.ds(b, 1)] = lin[0:3][None]
+        orotcov_ref[pl.ds(b, 1)] = cov[0:3, 0:3][None]
+        oposcov_ref[pl.ds(b, 1)] = cov[3:6, 3:6][None]
+        onm_ref[pl.ds(b, 1)] = nm.reshape(1, 1)
         return rot, lin, cov, lp, lu
 
     rot, lin, cov, lp, lu = jax.lax.fori_loop(

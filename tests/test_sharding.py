@@ -133,3 +133,25 @@ def test_vmap_process_scan_matches_loop(rng):
         _, out1 = process_scan(init_carry(scfg), pkts[b], params, scfg)
         np.testing.assert_allclose(np.asarray(vout.pos[b]), np.asarray(out1.pos), atol=1e-5)
         assert int(vout.n_matched[b]) == int(out1.n_matched)
+
+
+def test_vmap_deferred_matches_loop(rng):
+    """Deferred pipeline under vmap == per-replica loop."""
+    from legkilo_tpu.core.filter_deferred import process_scan_deferred
+
+    scfg = tiny_scfg()._replace(pipeline="deferred")
+    params = default_params()
+    B = 2
+    pkts = [tiny_packet(np.random.default_rng(10 + i)) for i in range(B)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pkts)
+    carry = batched_carry(scfg, B)
+    bparams = perturb_params(params, B, scale=0.0)
+
+    vout = jax.vmap(process_scan_deferred, in_axes=(0, 0, 0, None))(
+        carry, stacked, bparams, scfg
+    )[1]
+    for b in range(B):
+        _, out1 = process_scan_deferred(init_carry(scfg), pkts[b], params, scfg)
+        np.testing.assert_allclose(
+            np.asarray(vout.pos[b]), np.asarray(out1.pos), atol=1e-5
+        )
