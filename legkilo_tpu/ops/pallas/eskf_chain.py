@@ -54,13 +54,17 @@ def _exp3(w):
 def _inv_gj(M, n):
     """Unrolled Gauss-Jordan inverse of an n x n matrix (no pivoting; the
     innovation matrices here are identity-plus-PSD so diagonals stay away
-    from zero)."""
+    from zero).  Written without value `.at[...]` updates, which this
+    Pallas TPU lowering turns into unsupported scatters — row replacement
+    uses static one-hot masks instead."""
     A = jnp.concatenate([M, jnp.eye(n, dtype=M.dtype)], axis=1)  # [n, 2n]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     for k in range(n):
+        e_k = (rows == k).astype(M.dtype)                        # [n] one-hot
         piv = A[k, k]
         row = A[k] / piv
-        A = A.at[k].set(row)
-        col = A[:, k].at[k].set(0.0)
+        A = A * (1.0 - e_k)[:, None] + e_k[:, None] * row[None, :]
+        col = A[:, k] * (1.0 - e_k)
         A = A - col[:, None] * row[None, :]
     return A[:, n:]
 
@@ -76,30 +80,40 @@ def _predict(rot, lin, cov, q_diag, dt_mean, dt_cov):
     imu_w = lin[18:21]
     dtype = cov.dtype
     eye3 = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros((3, 3), dtype=dtype)
 
-    # Covariance with dt_cov using the pre-propagation state.
-    F = jnp.eye(30, dtype=dtype)
-    F = F.at[0:3, 0:3].set(_exp3(-dt_cov * imu_w))
-    F = F.at[0:3, 21:24].set(dt_cov * eye3)
-    F = F.at[3:6, 6:9].set(dt_cov * eye3)
-    F = F.at[6:9, 0:3].set(
-        -dt_cov * jnp.dot(rot, _skew(imu_a), preferred_element_type=dtype)
+    # Covariance with dt_cov using the pre-propagation state.  F is
+    # assembled by block concatenation — value `.at[...]` updates lower to
+    # unsupported scatters in this Pallas TPU version.
+    dtI = dt_cov * eye3
+    r_rot = jnp.concatenate(
+        [_exp3(-dt_cov * imu_w), z3, z3, z3, z3, z3, z3, dtI, z3, z3], axis=1
     )
-    F = F.at[6:9, 15:18].set(dt_cov * eye3)
-    F = F.at[6:9, 18:21].set(dt_cov * rot)
+    r_pos = jnp.concatenate([z3, eye3, dtI, z3, z3, z3, z3, z3, z3, z3], axis=1)
+    r_vel = jnp.concatenate(
+        [
+            -dt_cov * jnp.dot(rot, _skew(imu_a), preferred_element_type=dtype),
+            z3, eye3, z3, z3, dtI, dt_cov * rot, z3, z3, z3,
+        ],
+        axis=1,
+    )
+    F = jnp.concatenate([r_rot, r_pos, r_vel, jnp.eye(30, dtype=dtype)[9:]], axis=0)
     cov = jnp.dot(
         jnp.dot(F, cov, preferred_element_type=dtype), F.T,
         preferred_element_type=dtype,
     )
-    # Diagonal add without a scatter (unsupported in Pallas TPU lowering).
     cov = cov + (dt_cov * dt_cov) * (jnp.eye(30, dtype=dtype) * q_diag[None, :])
 
     # Mean with dt_mean.
-    dx = jnp.zeros((30,), dtype=dtype)
-    dx = dx.at[0:3].set(dt_mean * imu_w)
-    dx = dx.at[3:6].set(dt_mean * lin[3:6])
     acc_w = jnp.dot(rot, imu_a, preferred_element_type=dtype) + lin[12:15]
-    dx = dx.at[6:9].set(dt_mean * acc_w)
+    dx = jnp.concatenate(
+        [
+            dt_mean * imu_w,
+            dt_mean * lin[3:6],
+            dt_mean * acc_w,
+            jnp.zeros((21,), dtype=dtype),
+        ]
+    )
     rot, lin = _boxplus(rot, lin, dx)
     return rot, lin, cov
 

@@ -155,3 +155,28 @@ def test_vmap_deferred_matches_loop(rng):
         np.testing.assert_allclose(
             np.asarray(vout.pos[b]), np.asarray(out1.pos), atol=1e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_scaling_harness(rng):
+    """Weak-scaling harness runs and reports sane efficiency numbers."""
+    from legkilo_tpu.parallel.scaling import measure_scaling
+
+    scfg = tiny_scfg()
+    params = default_params()
+    packets = [tiny_packet(np.random.default_rng(i)) for i in range(4)]
+    res = measure_scaling(scfg, params, packets, device_counts=[1, 4], warmup=1)
+    assert len(res) == 2
+    assert res[0]["devices"] == 1 and res[1]["devices"] == 4
+    assert res[1]["replicas"] == 4
+    for r in res:
+        assert r["replica_scans_per_s"] > 0
+        assert 0 < r["efficiency"] <= 2.0
+
+
+def test_hierarchical_mesh_single_host():
+    from legkilo_tpu.parallel.multihost import hierarchical_mesh
+
+    mesh = hierarchical_mesh()
+    assert mesh.devices.shape[0] == 1  # one host
+    assert mesh.devices.size == len(jax.devices())
