@@ -175,11 +175,12 @@ def process_scan_deferred(
         carry, packet, params, scfg
     )
 
-    if scfg.use_pallas and not scfg.use_kin:
+    if scfg.use_pallas:
         from ..ops.pallas.eskf_chain import run_chain
 
         carry, rots, poss, rot_covs, pos_covs, nmatch = run_chain(
-            carry, packet, params, p_i, normal, center, r_meas, matched
+            carry, packet, params, p_i, normal, center, r_meas, matched,
+            use_kin=scfg.use_kin,
         )
     else:
         carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_jax(

@@ -135,6 +135,63 @@ def _update_imu(rot, lin, cov, acc, gyr, imu_r, g_over_an, gate):
     return rot, lin, cov
 
 
+def _cross3(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def _update_kin(rot, lin, cov, acc, gyr, fp, fv, ct, imu_r, kin_noise,
+                g_over_an, gate):
+    """Kinematic + IMU update (build_kin_obs + updateByKinImu; KILO.cc:260-314,
+    eskf.cc:137-145) with fixed 18-row masked shape."""
+    dtype = cov.dtype
+    i3 = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros((3, 3), dtype=dtype)
+
+    za = g_over_an * acc - lin[15:18] - lin[6:9]
+    zg = gyr - lin[18:21] - lin[9:12]
+    h_acc = jnp.concatenate([z3, z3, z3, i3, z3, z3, i3, z3, z3, z3], axis=1)
+    h_gyr = jnp.concatenate([z3, z3, z3, z3, i3, z3, z3, i3, z3, z3], axis=1)
+
+    w = lin[18:21]
+    rows = [h_acc, h_gyr]
+    zs = [za, zg]
+    rs = [imu_r]
+    for f in range(4):
+        c = ct[f]
+        p = fp[f]
+        v = fv[f]
+        wxp_v = _cross3(w, p) + v
+        h_rot = -jnp.dot(rot, _skew(wxp_v), preferred_element_type=dtype) * c
+        h_w = -jnp.dot(rot, _skew(p), preferred_element_type=dtype) * c
+        rows.append(
+            jnp.concatenate([h_rot, z3, i3 * c, z3, z3, z3, z3, h_w, z3, z3], axis=1)
+        )
+        zs.append(
+            (-lin[3:6] - jnp.dot(rot, wxp_v, preferred_element_type=dtype)) * c
+        )
+        rs.append(jnp.where(c > 0.5, kin_noise, 1.0) * jnp.ones(3, dtype=dtype))
+    h = jnp.concatenate(rows, axis=0)          # [18, 30]
+    z = jnp.concatenate(zs)                    # [18]
+    r = jnp.concatenate(rs)                    # [18]
+
+    pht = jnp.dot(cov, h.T, preferred_element_type=dtype)          # [30, 18]
+    s = jnp.dot(h, pht, preferred_element_type=dtype)
+    s = s + jnp.eye(18, dtype=dtype) * r[None, :]
+    k = jnp.dot(pht, _inv_gj(s, 18), preferred_element_type=dtype) * gate
+    dx = jnp.dot(k, z, preferred_element_type=dtype)
+    rot, lin = _boxplus(rot, lin, dx)
+    cov = cov - jnp.dot(
+        k, jnp.dot(h, cov, preferred_element_type=dtype), preferred_element_type=dtype
+    )
+    return rot, lin, cov
+
+
 def _cross_rows(a, b):
     """Row-wise cross product via explicit components (keeps the Pallas
     lowering free of fancy-indexing primitives)."""
@@ -178,7 +235,7 @@ def _update_points(rot, lin, cov, pi, n, nd, r, m):
 
 def _chain_kernel(
     # scalars / small params
-    params_ref,    # [1, 40]: q_diag(30), imu_r(6), g_over_an, pad
+    params_ref,    # [1, 40]: q_diag(30), imu_r(6), g_over_an, kin_noise, pad
     clocks_ref,    # [1, 2]: last_predict_t, last_update_t
     rot0_ref,      # [3, 3]
     lin0_ref,      # [1, 27]
@@ -190,6 +247,9 @@ def _chain_kernel(
     egate_ref,     # [NB, K]
     eacc_ref,      # [NB, K, 3]
     egyr_ref,      # [NB, K, 3]
+    efp_ref,       # [NB, K, 4, 3] foot positions (kin mode)
+    efv_ref,       # [NB, K, 4, 3] foot velocities
+    ect_ref,       # [NB, K, 4]    contact flags (f32 0/1)
     pi_ref,        # [NB, P, 3]
     n_ref,         # [NB, P, 3]
     nd_ref,        # [NB, P]  n . center
@@ -205,12 +265,15 @@ def _chain_kernel(
     flin_ref,      # [1, 27]
     fcov_ref,      # [30, 30]
     fclocks_ref,   # [1, 2]
+    *,
+    use_kin: bool,
 ):
     nb = btime_ref.shape[0]
     kmax = etime_ref.shape[1]
     q_diag = params_ref[0, 0:30]
     imu_r = params_ref[0, 30:36]
     g_over_an = params_ref[0, 36]
+    kin_noise = params_ref[0, 37]
 
     def bucket_body(b, carry):
         rot, lin, cov, lp, lu = carry
@@ -218,13 +281,23 @@ def _chain_kernel(
         egate = egate_ref[pl.ds(b, 1)][0]
         eacc = eacc_ref[pl.ds(b, 1)][0]        # [K, 3]
         egyr = egyr_ref[pl.ds(b, 1)][0]
+        if use_kin:
+            efp = efp_ref[pl.ds(b, 1)][0]      # [K, 4, 3]
+            efv = efv_ref[pl.ds(b, 1)][0]
+            ect = ect_ref[pl.ds(b, 1)][0]      # [K, 4]
         for k in range(kmax):
             t = etime[k]
             g = egate[k]
             rot, lin, cov = _predict(rot, lin, cov, q_diag, (t - lp) * g, (t - lu) * g)
-            rot, lin, cov = _update_imu(
-                rot, lin, cov, eacc[k], egyr[k], imu_r, g_over_an, g
-            )
+            if use_kin:
+                rot, lin, cov = _update_kin(
+                    rot, lin, cov, eacc[k], egyr[k], efp[k], efv[k], ect[k],
+                    imu_r, kin_noise, g_over_an, g,
+                )
+            else:
+                rot, lin, cov = _update_imu(
+                    rot, lin, cov, eacc[k], egyr[k], imu_r, g_over_an, g
+                )
             lp = jnp.where(g > 0.5, t, lp)
             lu = jnp.where(g > 0.5, t, lu)
 
@@ -258,9 +331,10 @@ def _chain_kernel(
     fclocks_ref[0, 1] = lu
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "use_kin"))
 def _chain_call(params_vec, clocks, rot0, lin0, cov0, btime, bgate,
-                etime, egate, eacc, egyr, pi, n, nd, r, m, interpret=False):
+                etime, egate, eacc, egyr, efp, efv, ect,
+                pi, n, nd, r, m, interpret=False, use_kin=False):
     nb = btime.shape[0]
     f32 = jnp.float32
     out_shapes = (
@@ -276,13 +350,13 @@ def _chain_call(params_vec, clocks, rot0, lin0, cov0, btime, bgate,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _chain_kernel,
+        functools.partial(_chain_kernel, use_kin=use_kin),
         out_shape=out_shapes,
-        in_specs=[vmem] * 16,
+        in_specs=[vmem] * 19,
         out_specs=(vmem,) * 9,
         interpret=interpret,
     )(params_vec, clocks, rot0, lin0, cov0, btime, bgate,
-      etime, egate, eacc, egyr, pi, n, nd, r, m)
+      etime, egate, eacc, egyr, efp, efv, ect, pi, n, nd, r, m)
 
 
 def run_chain(
@@ -294,14 +368,16 @@ def run_chain(
     center: jnp.ndarray,
     r_meas: jnp.ndarray,
     matched: jnp.ndarray,
+    use_kin: bool = False,
 ) -> Tuple[FilterCarry, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drive the fused chain kernel; same contract as _chain_jax (IMU mode)."""
+    """Drive the fused chain kernel; same contract as _chain_jax."""
     f32 = jnp.float32
     nb = packet.bucket_time.shape[0]
     params_vec = jnp.zeros((1, 40), dtype=f32)
     params_vec = params_vec.at[0, 0:30].set(params.noise.q_diag)
     params_vec = params_vec.at[0, 30:36].set(params.noise.imu_meas_r)
     params_vec = params_vec.at[0, 36].set(params.g_over_acc_norm)
+    params_vec = params_vec.at[0, 37].set(params.noise.kin_meas_noise)
     clocks = jnp.stack([carry.last_predict_t, carry.last_update_t]).reshape(1, 2)
 
     nd = jnp.sum(normal * center, axis=-1)  # [NB, P]
@@ -315,8 +391,11 @@ def run_chain(
         packet.imu_mask.astype(f32),
         packet.imu_acc.astype(f32),
         packet.imu_gyr.astype(f32),
+        packet.foot_pos.astype(f32),
+        packet.foot_vel.astype(f32),
+        packet.contact.astype(f32),
         p_i, normal, nd, r_meas, matched.astype(f32),
-        interpret=interpret,
+        interpret=interpret, use_kin=use_kin,
     )
     new_carry = carry._replace(
         state=State(rot=frot, lin=flin[0]),

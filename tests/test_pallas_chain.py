@@ -113,3 +113,31 @@ def test_pallas_chain_empty_buckets_noop(rng):
         np.asarray(c_pal.state.rot), np.asarray(carry.state.rot), atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(c_pal.cov), np.asarray(carry.cov), atol=1e-6)
+
+
+def test_pallas_chain_kin_matches_jax(rng):
+    scfg, params, carry, packet, (p_i, normal, center, r_meas, matched) = setup(rng)
+    scfg = scfg._replace(use_kin=True)
+    nb, k = packet.imu_time.shape
+    foot_pos = rng.normal(scale=0.2, size=(nb, k, 4, 3)).astype(np.float32)
+    foot_pos[..., 2] -= 0.3
+    foot_vel = rng.normal(scale=0.1, size=(nb, k, 4, 3)).astype(np.float32)
+    contact = rng.random((nb, k, 4)) < 0.6
+    packet = packet._replace(
+        foot_pos=jnp.asarray(foot_pos),
+        foot_vel=jnp.asarray(foot_vel),
+        contact=jnp.asarray(contact),
+    )
+
+    c_jax, rot_j, pos_j, rc_j, pc_j, nm_j = _chain_jax(
+        carry, packet, params, scfg, p_i, normal, center, r_meas, matched
+    )
+    c_pal, rot_p, pos_p, rc_p, pc_p, nm_p = run_chain(
+        carry, packet, params, p_i, normal, center, r_meas, matched, use_kin=True
+    )
+    np.testing.assert_allclose(np.asarray(pos_p), np.asarray(pos_j), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(rot_p), np.asarray(rot_j), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_pal.state.lin), np.asarray(c_jax.state.lin), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(c_pal.cov), np.asarray(c_jax.cov), atol=2e-4)
