@@ -40,7 +40,6 @@ from . import eskf
 from .filter import FilterCarry, FilterParams, ScanOutput, ScanPacket, StaticConfig
 from .plane_fit import calc_body_cov
 from .so3 import exp_so3, skew
-from .state import State
 from .voxel_map import insert_points, match_points, slide_map
 
 

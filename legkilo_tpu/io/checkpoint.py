@@ -18,8 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.filter import FilterCarry
-from ..core.state import State
-from ..core.voxel_map import VoxelMap
 
 
 def _flatten(carry: FilterCarry) -> dict:

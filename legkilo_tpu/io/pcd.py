@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import concurrent.futures
 import os
-import struct
 import time
 from typing import List, Optional
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import time as _time
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

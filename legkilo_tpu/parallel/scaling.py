@@ -12,7 +12,6 @@ import time
 from typing import Dict, List, Sequence
 
 import jax
-import numpy as np
 
 from ..core.filter import FilterParams, StaticConfig
 from .mesh import make_mesh, shard_batch

@@ -10,7 +10,7 @@ inserts collectives only for the final statistics reductions.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from ..core.filter import (
     init_carry,
     process_scan,
 )
-from .mesh import REPLICA_AXIS, make_mesh, shard_batch
+from .mesh import REPLICA_AXIS
 
 
 class FleetStats(NamedTuple):

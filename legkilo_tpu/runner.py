@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ from .core import eskf as eskf_mod
 from .core.filter import (
     FilterCarry,
     FilterParams,
-    ScanOutput,
     StaticConfig,
     first_frame_map,
     init_carry,
@@ -36,7 +35,6 @@ from .io.dataset import (
     PacketBuilder,
     RawScan,
     decimate_blind,
-    first_packet_imu_stats,
     to_device_packet,
 )
 from .utils.timing import Timer
