@@ -61,9 +61,11 @@ class VoxelMapConfig:
     sliding_thresh: float = 8.0
     pub_plane_en: bool = False
 
-    # TPU-native: per-level hash table capacity (power of two) and probe depth.
+    # TPU-native: per-level hash table capacity (power of two), probe depth,
+    # and scatter-claim rounds for batched insertion.
     capacity_log2: int = 16
     probe_length: int = 8
+    insert_rounds: int = 6
 
 
 @dataclasses.dataclass
@@ -164,6 +166,7 @@ _VOXEL_KEY_MAP = {
     "pub_plane_en": "pub_plane_en",
     "tpu_map_capacity_log2": "capacity_log2",
     "tpu_map_probe_length": "probe_length",
+    "tpu_map_insert_rounds": "insert_rounds",
 }
 _TPU_KEY_MAP = {
     "tpu_max_buckets": "max_buckets",

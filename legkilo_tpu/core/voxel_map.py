@@ -87,6 +87,7 @@ def map_config_from(cfg) -> MapConfig:
         sigma_num=float(cfg.sigma_num),
         max_points_num=int(cfg.max_points_num),
         init_num=tuple(int(x) for x in cfg.layer_init_num[:levels]),
+        insert_rounds=int(getattr(cfg, "insert_rounds", 6)),
     )
 
 
