@@ -327,8 +327,7 @@ def _chain_kernel(
     frot_ref[:] = rot
     flin_ref[0] = lin
     fcov_ref[:] = cov
-    fclocks_ref[0, 0] = lp
-    fclocks_ref[0, 1] = lu
+    fclocks_ref[0] = jnp.stack([lp, lu])  # scalar VMEM stores are unsupported
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "use_kin"))
