@@ -227,6 +227,78 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eval(args: argparse.Namespace) -> int:
+    """Offline trajectory evaluation (the evo/ATE workflow the reference
+    delegates to external tools; SURVEY.md §4.2)."""
+    from .io.tum import associate, ate_rmse, read_tum
+
+    t_est, p_est, _ = read_tum(args.est)
+    t_gt, p_gt, _ = read_tum(args.gt)
+    ia, ib = associate(t_est, t_gt, max_dt=args.max_dt)
+    if len(ia) < 2:
+        print(json.dumps({"error": "fewer than 2 associated poses"}))
+        return 1
+    out = {
+        "pairs": int(len(ia)),
+        "ate_rmse_m": round(ate_rmse(p_est[ia], p_gt[ib], align=not args.no_align), 4),
+        "ate_rmse_unaligned_m": round(ate_rmse(p_est[ia], p_gt[ib], align=False), 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_scale(args: argparse.Namespace) -> int:
+    """Weak-scaling efficiency measurement across local devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from .core import eskf as eskf_mod
+    from .core.filter import FilterParams, StaticConfig
+    from .core.voxel_map import map_config_from
+    from .io.dataset import PacketBuilder, to_device_packet
+    from .models import sim as sim_mod
+    from .parallel.scaling import measure_scaling
+
+    cfg = _load_config(args.config_file)
+    cfg.only_imu_use = True
+    cfg.lidar.filter_num = 1
+    cfg.lidar.blind = 0.3
+    cfg.voxel_map.capacity_log2 = min(cfg.voxel_map.capacity_log2, 14)
+    data = sim_mod.simulate(sim_mod.SimConfig(duration=args.duration))
+    builder = PacketBuilder(cfg)
+    for ev in data.imu:
+        builder.add_imu(ev)
+    packets = []
+    for scan in data.scans:
+        builder.add_scan(scan)
+        while builder.ready():
+            packets.append(to_device_packet(builder.pop()))
+
+    scfg = StaticConfig(
+        map_cfg=map_config_from(cfg.voxel_map),
+        use_kin=False,
+        dept_err=cfg.voxel_map.dept_err,
+        beam_err=cfg.voxel_map.beam_err,
+    )
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(cfg.eskf),
+        ext_r=jnp.asarray(np.asarray(cfg.extrinsic_R, np.float32).reshape(3, 3)),
+        ext_t=jnp.asarray(cfg.extrinsic_T, dtype=jnp.float32),
+        g_over_acc_norm=jnp.asarray(
+            float(cfg.gravity / np.linalg.norm(data.mean_acc))
+        ),
+    )
+    counts = [int(x) for x in args.devices.split(",")] if args.devices else None
+    if counts is None:
+        n = len(jax.devices())
+        counts = sorted({1, max(n // 2, 1), n})
+    res = measure_scaling(
+        scfg, params, packets, counts, replicas_per_device=args.replicas_per_device
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def main(argv=None) -> int:
     from .utils.logging import setup as setup_logging
 
@@ -262,6 +334,20 @@ def main(argv=None) -> int:
     p_sw.add_argument("--replicas", type=int, default=None)
     p_sw.add_argument("--noise_scale", type=float, default=0.1)
     p_sw.set_defaults(fn=cmd_sweep)
+
+    p_ev = sub.add_parser("eval", help="ATE between two TUM trajectories")
+    p_ev.add_argument("--est", required=True)
+    p_ev.add_argument("--gt", required=True)
+    p_ev.add_argument("--max_dt", type=float, default=0.02)
+    p_ev.add_argument("--no_align", action="store_true")
+    p_ev.set_defaults(fn=cmd_eval)
+
+    p_sc = sub.add_parser("scale", help="weak-scaling efficiency sweep")
+    p_sc.add_argument("--config_file", default=None)
+    p_sc.add_argument("--duration", type=float, default=2.0)
+    p_sc.add_argument("--devices", default=None, help="comma list, e.g. 1,4,8")
+    p_sc.add_argument("--replicas_per_device", type=int, default=1)
+    p_sc.set_defaults(fn=cmd_scale)
 
     args = ap.parse_args(argv)
     return args.fn(args)

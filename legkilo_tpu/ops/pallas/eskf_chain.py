@@ -40,6 +40,27 @@ def _skew(v):
     return jnp.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]], dtype=v.dtype)
 
 
+
+def _mm(a, b):
+    """Matmul with the contraction unrolled over a static small k — Mosaic
+    on this rig rejects dot_general with fused (non-constant) accumulators,
+    so all in-kernel matrix products are explicit multiply-add chains."""
+    k = a.shape[-1]
+    out = a[..., :, 0:1] * b[0:1, :]
+    for i in range(1, k):
+        out = out + a[..., :, i : i + 1] * b[i : i + 1, :]
+    return out
+
+
+def _mv(a, v):
+    """Matrix-vector product, contraction unrolled (static small k)."""
+    k = v.shape[0]
+    out = a[..., :, 0] * v[0]
+    for i in range(1, k):
+        out = out + a[..., :, i] * v[i]
+    return out
+
+
 def _exp3(w):
     t2 = jnp.sum(w * w)
     t = jnp.sqrt(t2)
@@ -48,7 +69,7 @@ def _exp3(w):
     a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(ts) / ts)
     b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(ts)) / (ts * ts))
     K = _skew(w)
-    return jnp.eye(3, dtype=w.dtype) + a * K + b * jnp.dot(K, K, preferred_element_type=jnp.float32)
+    return jnp.eye(3, dtype=w.dtype) + a * K + b * _mm(K, K)
 
 
 def _inv_gj(M, n):
@@ -70,7 +91,7 @@ def _inv_gj(M, n):
 
 
 def _boxplus(rot, lin, dx):
-    rot = jnp.dot(rot, _exp3(dx[0:3]), preferred_element_type=jnp.float32)
+    rot = _mm(rot, _exp3(dx[0:3]))
     return rot, lin + dx[3:30]
 
 
@@ -92,20 +113,17 @@ def _predict(rot, lin, cov, q_diag, dt_mean, dt_cov):
     r_pos = jnp.concatenate([z3, eye3, dtI, z3, z3, z3, z3, z3, z3, z3], axis=1)
     r_vel = jnp.concatenate(
         [
-            -dt_cov * jnp.dot(rot, _skew(imu_a), preferred_element_type=dtype),
+            -dt_cov * _mm(rot, _skew(imu_a)),
             z3, eye3, z3, z3, dtI, dt_cov * rot, z3, z3, z3,
         ],
         axis=1,
     )
     F = jnp.concatenate([r_rot, r_pos, r_vel, jnp.eye(30, dtype=dtype)[9:]], axis=0)
-    cov = jnp.dot(
-        jnp.dot(F, cov, preferred_element_type=dtype), F.T,
-        preferred_element_type=dtype,
-    )
+    cov = _mm(_mm(F, cov), F.T)
     cov = cov + (dt_cov * dt_cov) * (jnp.eye(30, dtype=dtype) * q_diag[None, :])
 
     # Mean with dt_mean.
-    acc_w = jnp.dot(rot, imu_a, preferred_element_type=dtype) + lin[12:15]
+    acc_w = _mv(rot, imu_a) + lin[12:15]
     dx = jnp.concatenate(
         [
             dt_mean * imu_w,
@@ -128,10 +146,10 @@ def _update_imu(rot, lin, cov, acc, gyr, imu_r, g_over_an, gate):
     hp = cov[9:15, :] + cov[18:24, :]
     s = pht[9:15, :] + pht[18:24, :]
     s = s + jnp.eye(6, dtype=dtype) * imu_r[None, :]
-    k = jnp.dot(pht, _inv_gj(s, 6), preferred_element_type=dtype) * gate
-    dx = jnp.dot(k, z6, preferred_element_type=dtype)
+    k = _mm(pht, _inv_gj(s, 6)) * gate
+    dx = _mv(k, z6)
     rot, lin = _boxplus(rot, lin, dx)
-    cov = cov - jnp.dot(k, hp, preferred_element_type=dtype)
+    cov = cov - _mm(k, hp)
     return rot, lin, cov
 
 
@@ -167,28 +185,26 @@ def _update_kin(rot, lin, cov, acc, gyr, fp, fv, ct, imu_r, kin_noise,
         p = fp[f]
         v = fv[f]
         wxp_v = _cross3(w, p) + v
-        h_rot = -jnp.dot(rot, _skew(wxp_v), preferred_element_type=dtype) * c
-        h_w = -jnp.dot(rot, _skew(p), preferred_element_type=dtype) * c
+        h_rot = -_mm(rot, _skew(wxp_v)) * c
+        h_w = -_mm(rot, _skew(p)) * c
         rows.append(
             jnp.concatenate([h_rot, z3, i3 * c, z3, z3, z3, z3, h_w, z3, z3], axis=1)
         )
         zs.append(
-            (-lin[3:6] - jnp.dot(rot, wxp_v, preferred_element_type=dtype)) * c
+            (-lin[3:6] - _mv(rot, wxp_v)) * c
         )
         rs.append(jnp.where(c > 0.5, kin_noise, 1.0) * jnp.ones(3, dtype=dtype))
     h = jnp.concatenate(rows, axis=0)          # [18, 30]
     z = jnp.concatenate(zs)                    # [18]
     r = jnp.concatenate(rs)                    # [18]
 
-    pht = jnp.dot(cov, h.T, preferred_element_type=dtype)          # [30, 18]
-    s = jnp.dot(h, pht, preferred_element_type=dtype)
+    pht = _mm(cov, h.T)                                            # [30, 18]
+    s = _mm(h, pht)
     s = s + jnp.eye(18, dtype=dtype) * r[None, :]
-    k = jnp.dot(pht, _inv_gj(s, 18), preferred_element_type=dtype) * gate
-    dx = jnp.dot(k, z, preferred_element_type=dtype)
+    k = _mm(pht, _inv_gj(s, 18)) * gate
+    dx = _mv(k, z)
     rot, lin = _boxplus(rot, lin, dx)
-    cov = cov - jnp.dot(
-        k, jnp.dot(h, cov, preferred_element_type=dtype), preferred_element_type=dtype
-    )
+    cov = cov - _mm(k, _mm(h, cov))
     return rot, lin, cov
 
 
@@ -205,23 +221,22 @@ def _cross_rows(a, b):
 def _update_points(rot, lin, cov, pi, n, nd, r, m):
     """Information-form point update (cf. eskf.update_by_points)."""
     dtype = cov.dtype
-    rt_n = jnp.dot(n, rot, preferred_element_type=dtype)          # [P,3] R^T n
+    rt_n = _mm(n, rot)                                            # [P,3] R^T n
     cr_u = _cross_rows(pi, rt_n)                                  # [p_i]x R^T n
     h6 = jnp.concatenate([cr_u, n], axis=1)                       # [P,6]
-    p_w = jnp.dot(pi, rot.T, preferred_element_type=dtype) + lin[0:3]
+    p_w = _mm(pi, rot.T) + lin[0:3]
     z = -(jnp.sum(n * p_w, axis=1) - nd)                          # [P]
     w = m / (r + _R_JITTER)
     hw = h6 * w[:, None]
-    A = jnp.dot(hw.T, h6, preferred_element_type=dtype)           # [6,6]
-    b6 = jnp.dot(hw.T, z, preferred_element_type=dtype)           # [6]
+    # Contraction over P via broadcast+sum (constant-0 accumulator).
+    A = jnp.sum(hw[:, :, None] * h6[:, None, :], axis=0)          # [6,6]
+    b6 = jnp.sum(hw * z[:, None], axis=0)                         # [6]
     p66 = cov[0:6, 0:6]
-    g6 = _inv_gj(jnp.eye(6, dtype=dtype) + jnp.dot(A, p66, preferred_element_type=dtype), 6)
+    g6 = _inv_gj(jnp.eye(6, dtype=dtype) + _mm(A, p66), 6)
     p_left = cov[:, 0:6]
-    dx = jnp.dot(p_left, jnp.dot(g6, b6, preferred_element_type=dtype),
-                 preferred_element_type=dtype)
-    ga = jnp.dot(g6, A, preferred_element_type=dtype)
-    khp = jnp.dot(jnp.dot(p_left, ga, preferred_element_type=dtype), cov[0:6, :],
-                  preferred_element_type=dtype)
+    dx = _mv(p_left, _mv(g6, b6))
+    ga = _mm(g6, A)
+    khp = _mm(_mm(p_left, ga), cov[0:6, :])
 
     did = jnp.sum(m) > 0.5
     didf = did.astype(dtype)
