@@ -101,25 +101,31 @@ def _predict(rot, lin, cov, q_diag, dt_mean, dt_cov):
     imu_w = lin[18:21]
     dtype = cov.dtype
     eye3 = jnp.eye(3, dtype=dtype)
-    z3 = jnp.zeros((3, 3), dtype=dtype)
 
-    # Covariance with dt_cov using the pre-propagation state.  F is
-    # assembled by block concatenation — value `.at[...]` updates lower to
-    # unsupported scatters in this Pallas TPU version.
-    dtI = dt_cov * eye3
-    r_rot = jnp.concatenate(
-        [_exp3(-dt_cov * imu_w), z3, z3, z3, z3, z3, z3, dtI, z3, z3], axis=1
-    )
-    r_pos = jnp.concatenate([z3, eye3, dtI, z3, z3, z3, z3, z3, z3, z3], axis=1)
-    r_vel = jnp.concatenate(
-        [
-            -dt_cov * _mm(rot, _skew(imu_a)),
-            z3, eye3, z3, z3, dtI, dt_cov * rot, z3, z3, z3,
-        ],
-        axis=1,
-    )
-    F = jnp.concatenate([r_rot, r_pos, r_vel, jnp.eye(30, dtype=dtype)[9:]], axis=0)
-    cov = _mm(_mm(F, cov), F.T)
+    # Covariance with dt_cov using the pre-propagation state.  F = I + D
+    # where D is nonzero only in rows 0:9 (eskf.cc:72-81), so
+    # F P F^T = Q1 + (D Q1^T)^T with Q1 = P + D P — a handful of k=3
+    # products instead of two full 30-wide chains (Mosaic aborts on the
+    # fully-unrolled version's code size).
+    a_blk = _exp3(-dt_cov * imu_w) - eye3        # rows 0:3 @ cols 0:3
+    v_blk = -dt_cov * _mm(rot, _skew(imu_a))     # rows 6:9 @ cols 0:3
+    dt_r = dt_cov * rot                          # rows 6:9 @ cols 18:21
+
+    def d_times(m):
+        """D @ m for [30, 30] m (rows 0:9 of the result)."""
+        r0 = _mm(a_blk, m[0:3, :]) + dt_cov * m[21:24, :]
+        r1 = dt_cov * m[6:9, :]
+        r2 = (
+            _mm(v_blk, m[0:3, :])
+            + dt_cov * m[15:18, :]
+            + _mm(dt_r, m[18:21, :])
+        )
+        return jnp.concatenate(
+            [r0, r1, r2, jnp.zeros((21, 30), dtype=dtype)], axis=0
+        )
+
+    q1 = cov + d_times(cov)
+    cov = q1 + d_times(q1.T).T
     cov = cov + (dt_cov * dt_cov) * (jnp.eye(30, dtype=dtype) * q_diag[None, :])
 
     # Mean with dt_mean.
@@ -137,15 +143,28 @@ def _predict(rot, lin, cov, q_diag, dt_mean, dt_cov):
 
 
 def _update_imu(rot, lin, cov, acc, gyr, imu_r, g_over_an, gate):
-    """Structured IMU update (eskf.cc:125-135), gain gated for padded slots."""
+    """Structured IMU update (eskf.cc:125-135), gain gated for padded slots.
+
+    H^T is realized as a selection matrix (columns e_{9+j} + e_{18+j}) and
+    everything flows through matmuls: Mosaic on this target crashes when
+    the Gauss-Jordan inverse consumes values with sliced/offset layouts,
+    but accepts matmul-produced operands.
+    """
     dtype = cov.dtype
     za = g_over_an * acc - lin[15:18] - lin[6:9]
     zg = gyr - lin[18:21] - lin[9:12]
     z6 = jnp.concatenate([za, zg])
-    pht = cov[:, 9:15] + cov[:, 18:24]
-    hp = cov[9:15, :] + cov[18:24, :]
-    s = pht[9:15, :] + pht[18:24, :]
-    s = s + jnp.eye(6, dtype=dtype) * imu_r[None, :]
+
+    pht = cov[:, 9:15] + cov[:, 18:24]               # [30, 6]
+    hp = cov[9:15, :] + cov[18:24, :]                # [6, 30]
+    s_raw = (
+        pht[9:15, :] + pht[18:24, :]
+        + jnp.eye(6, dtype=dtype) * imu_r[None, :]
+    )
+    # Launder the sliced layout through a tiny matmul: Mosaic crashes when
+    # the Gauss-Jordan inverse consumes slice-offset layouts but accepts
+    # matmul-produced operands.
+    s = _mm(jnp.eye(6, dtype=dtype), s_raw)
     k = _mm(pht, _inv_gj(s, 6)) * gate
     dx = _mv(k, z6)
     rot, lin = _boxplus(rot, lin, dx)
@@ -345,32 +364,172 @@ def _chain_kernel(
     fclocks_ref[0] = jnp.stack([lp, lu])  # scalar VMEM stores are unsupported
 
 
+def _chain_kernel_grid(
+    params_ref,    # [1, 40] (full)
+    clocks_ref,    # [1, 2]  (full)
+    rot0_ref,      # [3, 3]  (full)
+    lin0_ref,      # [1, 27] (full)
+    cov0_ref,      # [30, 30] (full)
+    btime_ref,     # [1, 1, 1]   per-bucket block (unit axes keep the
+    bgate_ref,     # [1, 1, 1]    last-two-dims tiling rule satisfied)
+    etime_ref,     # [1, 1, K]
+    egate_ref,     # [1, 1, K]
+    eacc_ref,      # [1, K, 3]
+    egyr_ref,      # [1, K, 3]
+    efp_ref,       # [1, K, 4, 3]
+    efv_ref,       # [1, K, 4, 3]
+    ect_ref,       # [1, K, 4]
+    pi_ref,        # [1, P, 3]
+    n_ref,         # [1, P, 3]
+    nd_ref,        # [1, 1, P]
+    r_ref,         # [1, 1, P]
+    m_ref,         # [1, 1, P]
+    orot_ref,      # [1, 3, 3]  per-bucket output block
+    opos_ref,      # [1, 1, 3]
+    orotcov_ref,   # [1, 3, 3]
+    oposcov_ref,   # [1, 3, 3]
+    onm_ref,       # [1, 1, 1]
+    frot_ref,      # [3, 3]   (full; written on the last step)
+    flin_ref,      # [1, 27]
+    fcov_ref,      # [30, 30]
+    fclocks_ref,   # [1, 2]
+    rot_s,         # scratch [3, 3]   — persists across grid steps
+    lin_s,         # scratch [1, 27]
+    cov_s,         # scratch [30, 30]
+    clk_s,         # scratch [1, 2]
+    *,
+    use_kin: bool,
+):
+    """Grid variant: one sequential grid step per bucket; the filter state
+    persists in VMEM scratch across steps.  All indexing is static — the
+    per-bucket slicing happens in BlockSpec index maps."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    kmax = etime_ref.shape[2]
+    q_diag = params_ref[0, 0:30]
+    imu_r = params_ref[0, 30:36]
+    g_over_an = params_ref[0, 36]
+    kin_noise = params_ref[0, 37]
+
+    @pl.when(b == 0)
+    def _():
+        rot_s[:] = rot0_ref[:]
+        lin_s[:] = lin0_ref[:]
+        cov_s[:] = cov0_ref[:]
+        clk_s[:] = clocks_ref[:]
+
+    rot, lin, cov = rot_s[:], lin_s[0], cov_s[:]
+    lp, lu = clk_s[0, 0], clk_s[0, 1]
+
+    for k in range(kmax):
+        t = etime_ref[0, 0, k]
+        g = egate_ref[0, 0, k]
+        rot, lin, cov = _predict(rot, lin, cov, q_diag, (t - lp) * g, (t - lu) * g)
+        if use_kin:
+            rot, lin, cov = _update_kin(
+                rot, lin, cov, eacc_ref[0, k], egyr_ref[0, k],
+                efp_ref[0, k], efv_ref[0, k], ect_ref[0, k],
+                imu_r, kin_noise, g_over_an, g,
+            )
+        else:
+            rot, lin, cov = _update_imu(
+                rot, lin, cov, eacc_ref[0, k], egyr_ref[0, k],
+                imu_r, g_over_an, g,
+            )
+        lp = jnp.where(g > 0.5, t, lp)
+        lu = jnp.where(g > 0.5, t, lu)
+
+    t = btime_ref[0, 0, 0]
+    g = bgate_ref[0, 0, 0]
+    rot, lin, cov = _predict(rot, lin, cov, q_diag, (t - lp) * g, (t - lu) * g)
+    lp = jnp.where(g > 0.5, t, lp)
+    mvec = m_ref[0, 0] * g
+    rot, lin, cov, did, nm = _update_points(
+        rot, lin, cov, pi_ref[0], n_ref[0], nd_ref[0, 0], r_ref[0, 0], mvec
+    )
+    lu = jnp.where((g > 0.5) & did, t, lu)
+
+    rot_s[:] = rot
+    lin_s[0] = lin
+    cov_s[:] = cov
+    clk_s[0] = jnp.stack([lp, lu])
+
+    orot_ref[0] = rot
+    opos_ref[0, 0] = lin[0:3]
+    orotcov_ref[0] = cov[0:3, 0:3]
+    oposcov_ref[0] = cov[3:6, 3:6]
+    onm_ref[0, 0] = nm.reshape(1)
+
+    @pl.when(b == nb - 1)
+    def _():
+        frot_ref[:] = rot
+        flin_ref[0] = lin
+        fcov_ref[:] = cov
+        fclocks_ref[0] = jnp.stack([lp, lu])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "use_kin"))
 def _chain_call(params_vec, clocks, rot0, lin0, cov0, btime, bgate,
                 etime, egate, eacc, egyr, efp, efv, ect,
                 pi, n, nd, r, m, interpret=False, use_kin=False):
-    nb = btime.shape[0]
+    nb, kmax = etime.shape
+    p = pi.shape[1]
     f32 = jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 3, 3), f32),   # orot
-        jax.ShapeDtypeStruct((nb, 3), f32),      # opos
+        jax.ShapeDtypeStruct((nb, 1, 3), f32),   # opos
         jax.ShapeDtypeStruct((nb, 3, 3), f32),   # orotcov
         jax.ShapeDtypeStruct((nb, 3, 3), f32),   # oposcov
-        jax.ShapeDtypeStruct((nb, 1), f32),      # onm
+        jax.ShapeDtypeStruct((nb, 1, 1), f32),   # onm
         jax.ShapeDtypeStruct((3, 3), f32),       # frot
         jax.ShapeDtypeStruct((1, 27), f32),      # flin
         jax.ShapeDtypeStruct((30, 30), f32),     # fcov
         jax.ShapeDtypeStruct((1, 2), f32),       # fclocks
     )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def per_bucket(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        full((1, 40)), full((1, 2)), full((3, 3)), full((1, 27)),
+        full((30, 30)),
+        per_bucket((1, 1)), per_bucket((1, 1)),
+        per_bucket((1, kmax)), per_bucket((1, kmax)),
+        per_bucket((kmax, 3)), per_bucket((kmax, 3)),
+        per_bucket((kmax, 4, 3)), per_bucket((kmax, 4, 3)),
+        per_bucket((kmax, 4)),
+        per_bucket((p, 3)), per_bucket((p, 3)),
+        per_bucket((1, p)), per_bucket((1, p)), per_bucket((1, p)),
+    ]
+    out_specs = (
+        per_bucket((3, 3)), per_bucket((1, 3)), per_bucket((3, 3)),
+        per_bucket((3, 3)), per_bucket((1, 1)),
+        full((3, 3)), full((1, 27)), full((30, 30)), full((1, 2)),
+    )
     return pl.pallas_call(
-        functools.partial(_chain_kernel, use_kin=use_kin),
+        functools.partial(_chain_kernel_grid, use_kin=use_kin),
         out_shape=out_shapes,
-        in_specs=[vmem] * 19,
-        out_specs=(vmem,) * 9,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((3, 3), f32),
+            pltpu.VMEM((1, 27), f32),
+            pltpu.VMEM((30, 30), f32),
+            pltpu.VMEM((1, 2), f32),
+        ],
         interpret=interpret,
-    )(params_vec, clocks, rot0, lin0, cov0, btime, bgate,
-      etime, egate, eacc, egyr, efp, efv, ect, pi, n, nd, r, m)
+    )(params_vec, clocks, rot0, lin0, cov0,
+      btime.reshape(nb, 1, 1), bgate.reshape(nb, 1, 1),
+      etime.reshape(nb, 1, kmax), egate.reshape(nb, 1, kmax),
+      eacc, egyr, efp, efv, ect, pi, n,
+      nd.reshape(nb, 1, p), r.reshape(nb, 1, p), m.reshape(nb, 1, p))
 
 
 def run_chain(
@@ -417,4 +576,4 @@ def run_chain(
         last_predict_t=fclocks[0, 0],
         last_update_t=fclocks[0, 1],
     )
-    return new_carry, orot, opos, orotcov, oposcov, onm[:, 0].astype(jnp.int32)
+    return new_carry, orot, opos.reshape(-1, 3), orotcov, oposcov, onm.reshape(-1).astype(jnp.int32)
