@@ -54,13 +54,17 @@ def main() -> None:
     data = sim.simulate(sim.SimConfig(duration=6.0, scan_points=8000, seed=7))
 
     pipeline = os.environ.get("LEGKILO_BENCH_PIPELINE", "deferred")
+    # The fused Pallas chain is experimental on this target (Mosaic compile
+    # pathologies; see docs/PERF_NOTES.md) — opt in via LEGKILO_BENCH_PALLAS=1.
+    use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "0") == "1"
+    cfg.voxel_map.insert_rounds = 2  # steady-state: new-voxel creation is rare
     scfg = StaticConfig(
         map_cfg=map_config_from(cfg.voxel_map),
         use_kin=False,
         dept_err=cfg.voxel_map.dept_err,
         beam_err=cfg.voxel_map.beam_err,
         pipeline=pipeline,
-        use_pallas=(pipeline == "deferred"),
+        use_pallas=(pipeline == "deferred" and use_pallas),
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
