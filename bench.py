@@ -49,7 +49,9 @@ def main() -> None:
     cfg.voxel_map.capacity_log2 = 16
     cfg.tpu.max_buckets = 56
     cfg.tpu.max_points_per_bucket = 128
-    cfg.tpu.max_imu_per_bucket = 3
+    # IMU is 50 Hz effective (20 ms) vs 2 ms buckets: at most one event ever
+    # precedes a bucket, so one padded slot suffices.
+    cfg.tpu.max_imu_per_bucket = 1
 
     data = sim.simulate(sim.SimConfig(duration=6.0, scan_points=8000, seed=7))
 

@@ -85,6 +85,61 @@ def make_noise_params(eskf_cfg, dtype=jnp.float32) -> NoiseParams:
 
 
 # ---------------------------------------------------------------------------
+# Small closed-form inverses
+#
+# jnp.linalg.solve on TPU lowers to LU loops that cannot fuse; the filter's
+# innovation systems are tiny and well-conditioned (identity-plus-PSD or
+# R-regularized SPD), so closed forms built from fusable elementwise ops are
+# both faster and kernel-count-friendly.
+# ---------------------------------------------------------------------------
+
+
+def _inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Adjugate inverse of [..., 3, 3] matrices (closed form)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / det
+    rows = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows * inv_det[..., None, None]
+
+
+def inv6(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of [..., 6, 6] via 2x2-block Schur complement."""
+    A = m[..., 0:3, 0:3]
+    B = m[..., 0:3, 3:6]
+    C = m[..., 3:6, 0:3]
+    D = m[..., 3:6, 3:6]
+    Ai = _inv3(A)
+    AiB = Ai @ B
+    CAi = C @ Ai
+    Si = _inv3(D - C @ AiB)
+    TL = Ai + AiB @ Si @ CAi
+    TR = -(AiB @ Si)
+    BL = -(Si @ CAi)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+# ---------------------------------------------------------------------------
 # Predict
 # ---------------------------------------------------------------------------
 
@@ -182,9 +237,9 @@ def update_by_points(
 
     p66 = cov[..., 0:6, 0:6]
     eye6 = jnp.eye(6, dtype=dtype)
-    m = eye6 + A @ p66                                  # [..., 6, 6]
-    g6_b = jnp.linalg.solve(m, b[..., None])[..., 0]    # G6 @ b
-    g6_a = jnp.linalg.solve(m, A)                       # G6 @ A
+    g6 = inv6(eye6 + A @ p66)                           # [..., 6, 6]
+    g6_b = jnp.einsum("...ij,...j->...i", g6, b)        # G6 @ b
+    g6_a = g6 @ A                                       # G6 @ A
 
     p_left = cov[..., :, 0:6]                           # [..., 30, 6]
     dx = jnp.einsum("...ij,...j->...i", p_left, g6_b)   # [..., 30]
@@ -227,7 +282,7 @@ def update_by_imu(
         pht[..., IDX_BA : IDX_BA + 6, :] + pht[..., IDX_IMU_A : IDX_IMU_A + 6, :]
     )
     s = hpht + jnp.zeros_like(hpht).at[..., jnp.arange(6), jnp.arange(6)].set(r6)
-    k = jnp.swapaxes(jnp.linalg.solve(jnp.swapaxes(s, -1, -2), jnp.swapaxes(pht, -1, -2)), -1, -2)
+    k = pht @ inv6(s)
     if gate is not None:
         k = k * gate[..., None, None]
     dx = jnp.einsum("...ij,...j->...i", k, z6)
