@@ -73,6 +73,7 @@ class MapConfig(NamedTuple):
     update_size_threshold: int = 5
     insert_rounds: int = 6   # claim rounds; k same-hash keys need k rounds
     radius_k: float = 3.0    # range gate multiplier (voxel_map.cc:369)
+    refit_budget: int = 2048  # max plane refits per insert call (per level)
 
 
 def map_config_from(cfg) -> MapConfig:
@@ -303,9 +304,8 @@ def insert_points(
         meta = vm.meta[lvl].at[tgt].add(counts, mode="drop")
         mom = vm.mom[lvl].at[tgt].add(mom_rows, mode="drop")
 
-        # Refit planes for touched slots that crossed their thresholds.
+        # Identify slots whose thresholds were crossed.
         meta_t = meta.at[tgt].get(mode="fill", fill_value=0.0)   # [N, META]
-        mom_t = mom.at[tgt].get(mode="fill", fill_value=0.0)     # [N, 129]
         n_t = meta_t[:, _M_N]
         init_t = meta_t[:, _M_INIT] > 0.5
         refit = (
@@ -313,7 +313,42 @@ def insert_points(
             & (n_t > float(cfg.init_num[lvl]))
             & (~init_t | (meta_t[:, _M_NEW] > float(cfg.update_size_threshold)))
         )
-        fit = fit_planes(_unpack_moments(mom_t, n_t), cfg.planer_threshold)
+
+        # Per-point meta writeback: freeze at max_points_num
+        # (voxel_map.cc:199-203).
+        new_meta = jnp.stack(
+            [
+                n_t,
+                meta_t[:, _M_NEW],
+                jnp.maximum(
+                    meta_t[:, _M_FROZEN],
+                    (n_t >= float(cfg.max_points_num)).astype(dtype),
+                ),
+                meta_t[:, _M_INIT],
+                meta_t[:, _M_PLANE],
+            ],
+            axis=-1,
+        )
+        meta = meta.at[tgt].set(new_meta, mode="drop")
+
+        # Compact refit candidates to <= refit_budget unique slots (sort +
+        # dedup) so the closed-form fit runs on a small fixed batch instead
+        # of every touched point.  Slots beyond the budget keep accumulating
+        # new_n and refit on a later call — graceful degradation, no loss.
+        cand = jnp.where(refit, tgt, C)
+        srt = jnp.sort(cand)
+        first = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), srt[1:] != srt[:-1]]
+        )
+        uniq = jnp.where(first, srt, C)
+        refit_slots = jnp.sort(uniq)[: cfg.refit_budget]
+        valid_r = refit_slots < C
+        fs = jnp.where(valid_r, refit_slots, C)
+
+        meta_r = meta.at[fs].get(mode="fill", fill_value=0.0)
+        mom_r = mom.at[fs].get(mode="fill", fill_value=0.0)
+        n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
+        fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
         plane_rows = jnp.concatenate(
             [
                 fit.center_rel,
@@ -324,25 +359,18 @@ def insert_points(
             ],
             axis=-1,
         )
-        ft = jnp.where(refit, tgt, C)
-        plane = vm.plane[lvl].at[ft].set(plane_rows, mode="drop")
-
-        # Combined meta writeback at every touched slot: freeze at
-        # max_points_num (voxel_map.cc:199-203), init/is_plane/new_n on refit.
-        new_meta = jnp.stack(
+        plane = vm.plane[lvl].at[fs].set(plane_rows, mode="drop")
+        meta_fit = jnp.stack(
             [
-                n_t,
-                jnp.where(refit, 0.0, meta_t[:, _M_NEW]),
-                jnp.maximum(
-                    meta_t[:, _M_FROZEN],
-                    (n_t >= float(cfg.max_points_num)).astype(dtype),
-                ),
-                jnp.maximum(meta_t[:, _M_INIT], refit.astype(dtype)),
-                jnp.where(refit, fit.is_plane.astype(dtype), meta_t[:, _M_PLANE]),
+                meta_r[:, _M_N],
+                jnp.zeros_like(n_r),                      # new_n reset
+                meta_r[:, _M_FROZEN],
+                jnp.ones_like(n_r),                       # initialized
+                fit.is_plane.astype(dtype),
             ],
             axis=-1,
         )
-        meta = meta.at[tgt].set(new_meta, mode="drop")
+        meta = meta.at[fs].set(meta_fit, mode="drop")
 
         vm = vm._replace(
             key=vm.key.at[lvl].set(key_arr),
