@@ -228,6 +228,68 @@ def _probe_find(
     return slot, found, empty, has_empty
 
 
+def _probe_find_flat(
+    key_flat: jnp.ndarray,  # [L*C, 3]
+    occ_flat: jnp.ndarray,  # [L*C]
+    keys: jnp.ndarray,      # [M, 3]
+    lvl: jnp.ndarray,       # [M] level index per key
+    cfg: MapConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Probe all levels' subtables in one flattened gather series.
+
+    Global slot index = level * capacity + local slot; misses return
+    ``levels * capacity`` (one past the flattened table, for drop/fill)."""
+    C = cfg.capacity
+    miss = cfg.levels * C
+    base = lvl * C
+    h0 = _hash(keys, C)
+    offs = jnp.arange(cfg.probe, dtype=jnp.int32)
+    idx = base[:, None] + ((h0[:, None] + offs[None, :]) & (C - 1))  # [M, probe]
+    k_at = key_flat[idx]
+    occ_at = occ_flat[idx]
+    match = occ_at & jnp.all(k_at == keys[:, None, :], axis=-1)
+    found = jnp.any(match, axis=-1)
+    first_match = jnp.argmax(match, axis=-1)
+    slot = jnp.where(
+        found, jnp.take_along_axis(idx, first_match[:, None], axis=-1)[:, 0], miss
+    )
+    is_empty = ~occ_at
+    has_empty = jnp.any(is_empty, axis=-1)
+    first_empty = jnp.argmax(is_empty, axis=-1)
+    empty = jnp.where(
+        has_empty, jnp.take_along_axis(idx, first_empty[:, None], axis=-1)[:, 0], miss
+    )
+    return slot, found, empty, has_empty
+
+
+def _find_or_insert_flat(
+    key_flat: jnp.ndarray,
+    occ_flat: jnp.ndarray,
+    keys: jnp.ndarray,
+    lvl: jnp.ndarray,
+    active: jnp.ndarray,
+    cfg: MapConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flattened-table version of _find_or_insert (same claim-round logic)."""
+    miss = cfg.levels * cfg.capacity
+    slot = jnp.full((keys.shape[0],), miss, dtype=jnp.int32)
+    resolved = jnp.zeros((keys.shape[0],), dtype=bool)
+    for _ in range(cfg.insert_rounds):
+        s, found, empty, has_empty = _probe_find_flat(key_flat, occ_flat, keys, lvl, cfg)
+        newly = active & ~resolved & found
+        slot = jnp.where(newly, s, slot)
+        resolved = resolved | newly
+        want = active & ~resolved & has_empty
+        claim_idx = jnp.where(want, empty, miss)
+        key_flat = key_flat.at[claim_idx].set(keys, mode="drop")
+        occ_flat = occ_flat.at[claim_idx].set(True, mode="drop")
+    s, found, _, _ = _probe_find_flat(key_flat, occ_flat, keys, lvl, cfg)
+    newly = active & ~resolved & found
+    slot = jnp.where(newly, s, slot)
+    resolved = resolved | newly
+    return key_flat, occ_flat, slot, resolved & active
+
+
 def _find_or_insert(
     key_arr: jnp.ndarray,
     occ: jnp.ndarray,
@@ -281,105 +343,123 @@ def insert_points(
     points, freeze (stop updating) at max_points_num points.  Also the
     BuildVoxelMap first-frame path (voxel_map.cc:287-334) — same operation
     with the full first scan.
+
+    All levels are processed in ONE flattened batch (global slot index =
+    level * capacity + local slot): a single probe/claim series, a single
+    moment scatter, and a single budgeted refit instead of per-level ops —
+    the per-level python loop tripled the kernel count for no benefit.
     """
     dtype = vm.mom.dtype
-    C = cfg.capacity
+    L, C, N = cfg.levels, cfg.capacity, p_w.shape[0]
+    miss = L * C
+
+    # Per-level keys, voxel centers, and level ids, stacked then flattened.
+    keys_l, vc_l = [], []
     for lvl in range(cfg.levels):
         size = level_size(cfg, lvl)
-        keys = voxel_key(p_w, size)
-        key_arr, occ, slot, ok = _find_or_insert(
-            vm.key[lvl], vm.occ[lvl], keys, mask, cfg
-        )
-        # Contribution gating: frozen slots stop accumulating
-        # (update_enable_, voxel_map.cc:199-204).
-        meta_at = vm.meta[lvl].at[slot].get(mode="fill", fill_value=0.0)
-        contrib = ok & (meta_at[:, _M_FROZEN] < 0.5)
-        tgt = jnp.where(contrib, slot, C)
+        k = voxel_key(p_w, size)
+        keys_l.append(k)
+        vc_l.append((k.astype(dtype) + 0.5) * size)
+    keys = jnp.concatenate(keys_l, axis=0)                # [L*N, 3]
+    vc = jnp.concatenate(vc_l, axis=0)                    # [L*N, 3]
+    lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
+    mask_f = jnp.tile(mask, L)
 
-        vc = (keys.astype(dtype) + 0.5) * size
-        mom_rows = _pack_moments(point_moments(p_w - vc, var))  # [N, 129]
+    key_flat = vm.key.reshape(miss, 3)
+    occ_flat = vm.occ.reshape(miss)
+    meta_flat = vm.meta.reshape(miss, META_DIM)
+    mom_flat = vm.mom.reshape(miss, MOM_DIM)
+    plane_flat = vm.plane.reshape(miss, PLANE_DIM)
 
-        counts = jnp.zeros((p_w.shape[0], META_DIM), dtype=dtype)
-        counts = counts.at[:, _M_N].set(1.0).at[:, _M_NEW].set(1.0)
-        meta = vm.meta[lvl].at[tgt].add(counts, mode="drop")
-        mom = vm.mom[lvl].at[tgt].add(mom_rows, mode="drop")
+    key_flat, occ_flat, slot, ok = _find_or_insert_flat(
+        key_flat, occ_flat, keys, lvl_ids, mask_f, cfg
+    )
+    # Contribution gating: frozen slots stop accumulating
+    # (update_enable_, voxel_map.cc:199-204).
+    meta_at = meta_flat.at[slot].get(mode="fill", fill_value=0.0)
+    contrib = ok & (meta_at[:, _M_FROZEN] < 0.5)
+    tgt = jnp.where(contrib, slot, miss)
 
-        # Identify slots whose thresholds were crossed.
-        meta_t = meta.at[tgt].get(mode="fill", fill_value=0.0)   # [N, META]
-        n_t = meta_t[:, _M_N]
-        init_t = meta_t[:, _M_INIT] > 0.5
-        refit = (
-            contrib
-            & (n_t > float(cfg.init_num[lvl]))
-            & (~init_t | (meta_t[:, _M_NEW] > float(cfg.update_size_threshold)))
-        )
+    p_rel = jnp.tile(p_w, (L, 1)) - vc
+    mom_rows = _pack_moments(point_moments(p_rel, jnp.tile(var, (L, 1, 1))))
 
-        # Per-point meta writeback: freeze at max_points_num
-        # (voxel_map.cc:199-203).
-        new_meta = jnp.stack(
-            [
-                n_t,
-                meta_t[:, _M_NEW],
-                jnp.maximum(
-                    meta_t[:, _M_FROZEN],
-                    (n_t >= float(cfg.max_points_num)).astype(dtype),
-                ),
-                meta_t[:, _M_INIT],
-                meta_t[:, _M_PLANE],
-            ],
-            axis=-1,
-        )
-        meta = meta.at[tgt].set(new_meta, mode="drop")
+    counts = jnp.zeros((L * N, META_DIM), dtype=dtype)
+    counts = counts.at[:, _M_N].set(1.0).at[:, _M_NEW].set(1.0)
+    meta_flat = meta_flat.at[tgt].add(counts, mode="drop")
+    mom_flat = mom_flat.at[tgt].add(mom_rows, mode="drop")
 
-        # Compact refit candidates to <= refit_budget unique slots (sort +
-        # dedup) so the closed-form fit runs on a small fixed batch instead
-        # of every touched point.  Slots beyond the budget keep accumulating
-        # new_n and refit on a later call — graceful degradation, no loss.
-        cand = jnp.where(refit, tgt, C)
-        srt = jnp.sort(cand)
-        first = jnp.concatenate(
-            [jnp.ones((1,), dtype=bool), srt[1:] != srt[:-1]]
-        )
-        uniq = jnp.where(first, srt, C)
-        refit_slots = jnp.sort(uniq)[: cfg.refit_budget]
-        valid_r = refit_slots < C
-        fs = jnp.where(valid_r, refit_slots, C)
+    # Identify slots whose thresholds were crossed.
+    meta_t = meta_flat.at[tgt].get(mode="fill", fill_value=0.0)
+    n_t = meta_t[:, _M_N]
+    init_t = meta_t[:, _M_INIT] > 0.5
+    init_thresh = jnp.asarray(cfg.init_num, dtype=dtype)[lvl_ids]
+    refit = (
+        contrib
+        & (n_t > init_thresh)
+        & (~init_t | (meta_t[:, _M_NEW] > float(cfg.update_size_threshold)))
+    )
 
-        meta_r = meta.at[fs].get(mode="fill", fill_value=0.0)
-        mom_r = mom.at[fs].get(mode="fill", fill_value=0.0)
-        n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
-        fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
-        plane_rows = jnp.concatenate(
-            [
-                fit.center_rel,
-                fit.normal,
-                fit.evals,
-                fit.radius[:, None],
-                fit.plane_var.reshape(-1, 36),
-            ],
-            axis=-1,
-        )
-        plane = vm.plane[lvl].at[fs].set(plane_rows, mode="drop")
-        meta_fit = jnp.stack(
-            [
-                meta_r[:, _M_N],
-                jnp.zeros_like(n_r),                      # new_n reset
-                meta_r[:, _M_FROZEN],
-                jnp.ones_like(n_r),                       # initialized
-                fit.is_plane.astype(dtype),
-            ],
-            axis=-1,
-        )
-        meta = meta.at[fs].set(meta_fit, mode="drop")
+    # Per-point meta writeback: freeze at max_points_num (voxel_map.cc:199-203).
+    new_meta = jnp.stack(
+        [
+            n_t,
+            meta_t[:, _M_NEW],
+            jnp.maximum(
+                meta_t[:, _M_FROZEN],
+                (n_t >= float(cfg.max_points_num)).astype(dtype),
+            ),
+            meta_t[:, _M_INIT],
+            meta_t[:, _M_PLANE],
+        ],
+        axis=-1,
+    )
+    meta_flat = meta_flat.at[tgt].set(new_meta, mode="drop")
 
-        vm = vm._replace(
-            key=vm.key.at[lvl].set(key_arr),
-            occ=vm.occ.at[lvl].set(occ),
-            meta=vm.meta.at[lvl].set(meta),
-            mom=vm.mom.at[lvl].set(mom),
-            plane=vm.plane.at[lvl].set(plane),
-        )
-    return vm
+    # Compact refit candidates to <= refit_budget unique slots (sort + dedup)
+    # so the closed-form fit runs on a small fixed batch instead of every
+    # touched point.  Slots beyond the budget keep accumulating new_n and
+    # refit on a later call — graceful degradation, no loss.
+    cand = jnp.where(refit, tgt, miss)
+    srt = jnp.sort(cand)
+    first = jnp.concatenate([jnp.ones((1,), dtype=bool), srt[1:] != srt[:-1]])
+    uniq = jnp.where(first, srt, miss)
+    refit_slots = jnp.sort(uniq)[: cfg.refit_budget]
+    fs = jnp.where(refit_slots < miss, refit_slots, miss)
+
+    meta_r = meta_flat.at[fs].get(mode="fill", fill_value=0.0)
+    mom_r = mom_flat.at[fs].get(mode="fill", fill_value=0.0)
+    n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
+    fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
+    plane_rows = jnp.concatenate(
+        [
+            fit.center_rel,
+            fit.normal,
+            fit.evals,
+            fit.radius[:, None],
+            fit.plane_var.reshape(-1, 36),
+        ],
+        axis=-1,
+    )
+    plane_flat = plane_flat.at[fs].set(plane_rows, mode="drop")
+    meta_fit = jnp.stack(
+        [
+            meta_r[:, _M_N],
+            jnp.zeros_like(n_r),                      # new_n reset
+            meta_r[:, _M_FROZEN],
+            jnp.ones_like(n_r),                       # initialized
+            fit.is_plane.astype(dtype),
+        ],
+        axis=-1,
+    )
+    meta_flat = meta_flat.at[fs].set(meta_fit, mode="drop")
+
+    return vm._replace(
+        key=key_flat.reshape(L, C, 3),
+        occ=occ_flat.reshape(L, C),
+        meta=meta_flat.reshape(L, C, META_DIM),
+        mom=mom_flat.reshape(L, C, MOM_DIM),
+        plane=plane_flat.reshape(L, C, PLANE_DIM),
+    )
 
 
 def _candidate_eval(
@@ -476,34 +556,104 @@ def match_points(
 
     Own-voxel chain first; points that fail fall back to the adjacent-voxel
     chain (the intended semantics of the neighbor retry at KILO.cc:156-178,
-    with the unit mixup fixed — see module docstring)."""
+    with the unit mixup fixed — see module docstring).
+
+    All 2 x levels candidates are probed/gathered/gated in ONE flattened
+    batch; only the tiny chain-eligibility/selection logic runs per level.
+    """
     dtype = vm.mom.dtype
+    L, C, N = cfg.levels, cfg.capacity, p_w.shape[0]
+    miss = L * C
 
-    own_keys, nbr_keys = [], []
-    for lvl in range(cfg.levels):
-        size = level_size(cfg, lvl)
-        keys = voxel_key(p_w, size)
-        vc = (keys.astype(dtype) + 0.5) * size
-        rel = p_w - vc
-        quarter = size / 4.0
-        off = (rel > quarter).astype(jnp.int32) - (rel < -quarter).astype(jnp.int32)
-        own_keys.append(keys)
-        nbr_keys.append(keys + off)
+    keys_all, lvl_all = [], []
+    for chain in range(2):
+        for lvl in range(cfg.levels):
+            size = level_size(cfg, lvl)
+            keys = voxel_key(p_w, size)
+            if chain == 1:
+                vc = (keys.astype(dtype) + 0.5) * size
+                rel = p_w - vc
+                quarter = size / 4.0
+                off = (rel > quarter).astype(jnp.int32) - (
+                    rel < -quarter
+                ).astype(jnp.int32)
+                keys = keys + off
+            keys_all.append(keys)
+            lvl_all.append(jnp.full((N,), lvl, dtype=jnp.int32))
+    keys_f = jnp.concatenate(keys_all, axis=0)           # [2L*N, 3]
+    lvl_f = jnp.concatenate(lvl_all, axis=0)
 
-    best_own = _chain_best(vm, cfg, p_w, var, own_keys)
-    best_nbr = _chain_best(vm, cfg, p_w, var, nbr_keys)
+    key_flat = vm.key.reshape(miss, 3)
+    occ_flat = vm.occ.reshape(miss)
+    slot, found, _, _ = _probe_find_flat(key_flat, occ_flat, keys_f, lvl_f, cfg)
 
-    use_nbr = ~best_own.matched & best_nbr.matched
-    res = MatchResult(
-        matched=(best_own.matched | best_nbr.matched) & mask,
-        normal=jnp.where(use_nbr[:, None], best_nbr.normal, best_own.normal),
-        center=jnp.where(use_nbr[:, None], best_nbr.center, best_own.center),
-        plane_var=jnp.where(
-            use_nbr[:, None, None], best_nbr.plane_var, best_own.plane_var
-        ),
-        signed_dist=jnp.where(use_nbr, best_nbr.signed_dist, best_own.signed_dist),
+    meta_at = vm.meta.reshape(miss, META_DIM).at[slot].get(mode="fill", fill_value=0.0)
+    plane_at = vm.plane.reshape(miss, PLANE_DIM).at[slot].get(
+        mode="fill", fill_value=0.0
     )
-    return res
+    is_plane = (meta_at[:, _M_PLANE] > 0.5) & found
+
+    sizes = jnp.asarray(
+        [level_size(cfg, l) for l in range(cfg.levels)], dtype=dtype
+    )[lvl_f]
+    vc_f = (keys_f.astype(dtype) + 0.5) * sizes[:, None]
+    center = vc_f + plane_at[:, 0:3]
+    normal = plane_at[:, 3:6]
+    radius = plane_at[:, 9]
+    plane_var = plane_at[:, 10:46].reshape(-1, 6, 6)
+
+    p_rep = jnp.tile(p_w, (2 * L, 1))
+    var_rep = jnp.tile(var, (2 * L, 1, 1))
+    rel = p_rep - center
+    signed_dist = jnp.sum(normal * rel, axis=-1)
+    dist = jnp.abs(signed_dist)
+    d2c = jnp.sum(rel * rel, axis=-1)
+    range_dis2 = jnp.maximum(d2c - dist * dist, 0.0)
+    gate_range = range_dis2 <= (cfg.radius_k * radius) ** 2
+
+    # sigma_l = J_nq plane_var J_nq^T + n^T var n  (voxel_map.cc:383-386)
+    j_nq = jnp.concatenate([rel, -normal], axis=-1)
+    sigma_l = jnp.einsum("...i,...ij,...j->...", j_nq, plane_var, j_nq)
+    sigma_l = sigma_l + jnp.einsum("...i,...ij,...j->...", normal, var_rep, normal)
+    sigma_l = jnp.maximum(sigma_l, 1e-12)
+    gate_sigma = dist < cfg.sigma_num * jnp.sqrt(sigma_l)
+    prob = jax.lax.rsqrt(sigma_l) * jnp.exp(-0.5 * dist * dist / sigma_l)
+    ok = found & is_plane & gate_range & gate_sigma
+
+    # Per-chain selection: level l is reachable only while every ancestor
+    # exists and is not itself a plane (build_single_residual recursion,
+    # voxel_map.cc:371-427); best plane by probability.
+    def r2(x, c, l):
+        return x[(c * L + l) * N : (c * L + l + 1) * N]
+
+    results = []
+    for chain in range(2):
+        best_prob = jnp.full((N,), -jnp.inf, dtype=dtype)
+        b_matched = jnp.zeros((N,), dtype=bool)
+        b_idx = jnp.zeros((N,), dtype=jnp.int32)  # flat candidate row index
+        reachable = jnp.ones((N,), dtype=bool)
+        rows0 = jnp.arange(N, dtype=jnp.int32)
+        for lvl in range(cfg.levels):
+            okl = r2(ok, chain, lvl) & reachable
+            probl = r2(prob, chain, lvl)
+            better = okl & (probl > best_prob)
+            best_prob = jnp.where(better, probl, best_prob)
+            b_matched = b_matched | okl
+            b_idx = jnp.where(better, (chain * L + lvl) * N + rows0, b_idx)
+            reachable = reachable & r2(found, chain, lvl) & ~r2(is_plane, chain, lvl)
+        results.append((b_matched, b_idx))
+
+    (m_own, i_own), (m_nbr, i_nbr) = results
+    use_nbr = ~m_own & m_nbr
+    matched = (m_own | m_nbr) & mask
+    idx = jnp.where(use_nbr, i_nbr, i_own)
+    return MatchResult(
+        matched=matched,
+        normal=normal[idx],
+        center=center[idx],
+        plane_var=plane_var[idx],
+        signed_dist=signed_dist[idx],
+    )
 
 
 def slide_map(vm: VoxelMap, cfg: MapConfig, position: jnp.ndarray, half_map_size: int) -> VoxelMap:
