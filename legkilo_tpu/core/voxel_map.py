@@ -462,89 +462,6 @@ def insert_points(
     )
 
 
-def _candidate_eval(
-    vm: VoxelMap,
-    cfg: MapConfig,
-    lvl: int,
-    keys: jnp.ndarray,   # [N, 3] candidate voxel keys at this level
-    p_w: jnp.ndarray,    # [N, 3]
-    var: jnp.ndarray,    # [N, 3, 3]
-):
-    """Evaluate one candidate (level, key) per point.
-
-    Returns (found, is_plane, ok, prob, normal, center_w, plane_var,
-    signed_dist) — the vectorized body of build_single_residual
-    (voxel_map.cc:363-427).
-    """
-    dtype = vm.mom.dtype
-    size = level_size(cfg, lvl)
-    slot, found, _, _ = _probe_find(vm.key[lvl], vm.occ[lvl], keys, cfg)
-    meta_at = vm.meta[lvl].at[slot].get(mode="fill", fill_value=0.0)
-    plane_at = vm.plane[lvl].at[slot].get(mode="fill", fill_value=0.0)
-
-    is_plane = (meta_at[:, _M_PLANE] > 0.5) & found
-    vc = (keys.astype(dtype) + 0.5) * size
-    center = vc + plane_at[:, 0:3]
-    normal = plane_at[:, 3:6]
-    radius = plane_at[:, 9]
-    plane_var = plane_at[:, 10:46].reshape(-1, 6, 6)
-
-    rel = p_w - center
-    signed_dist = jnp.sum(normal * rel, axis=-1)
-    dist = jnp.abs(signed_dist)
-    d2c = jnp.sum(rel * rel, axis=-1)
-    range_dis2 = jnp.maximum(d2c - dist * dist, 0.0)
-    gate_range = range_dis2 <= (cfg.radius_k * radius) ** 2
-
-    # sigma_l = J_nq plane_var J_nq^T + n^T var n  (voxel_map.cc:383-386)
-    j_nq = jnp.concatenate([rel, -normal], axis=-1)        # [N, 6]
-    sigma_l = jnp.einsum("...i,...ij,...j->...", j_nq, plane_var, j_nq)
-    sigma_l = sigma_l + jnp.einsum("...i,...ij,...j->...", normal, var, normal)
-    sigma_l = jnp.maximum(sigma_l, 1e-12)
-    gate_sigma = dist < cfg.sigma_num * jnp.sqrt(sigma_l)
-
-    prob = jax.lax.rsqrt(sigma_l) * jnp.exp(-0.5 * dist * dist / sigma_l)
-    ok = found & is_plane & gate_range & gate_sigma
-    return found, is_plane, ok, prob, normal, center, plane_var, signed_dist
-
-
-def _chain_best(vm, cfg, p_w, var, base_keys_per_level):
-    """Best match along one voxel chain (root -> leaves).
-
-    Eligibility mirrors the recursive search: level l is reachable only if
-    every ancestor exists and is not a plane (a planar ancestor terminates
-    the recursion and is itself the candidate; voxel_map.cc:371-427)."""
-    N = p_w.shape[0]
-    dtype = vm.mom.dtype
-    best_prob = jnp.full((N,), -jnp.inf, dtype=dtype)
-    best = MatchResult(
-        matched=jnp.zeros((N,), dtype=bool),
-        normal=jnp.zeros((N, 3), dtype=dtype),
-        center=jnp.zeros((N, 3), dtype=dtype),
-        plane_var=jnp.zeros((N, 6, 6), dtype=dtype),
-        signed_dist=jnp.zeros((N,), dtype=dtype),
-    )
-    reachable = jnp.ones((N,), dtype=bool)
-    for lvl in range(cfg.levels):
-        keys = base_keys_per_level[lvl]
-        found, is_plane, ok, prob, normal, center, pvar, sdist = _candidate_eval(
-            vm, cfg, lvl, keys, p_w, var
-        )
-        ok = ok & reachable
-        better = ok & (prob > best_prob)
-        best_prob = jnp.where(better, prob, best_prob)
-        best = MatchResult(
-            matched=best.matched | ok,
-            normal=jnp.where(better[:, None], normal, best.normal),
-            center=jnp.where(better[:, None], center, best.center),
-            plane_var=jnp.where(better[:, None, None], pvar, best.plane_var),
-            signed_dist=jnp.where(better, sdist, best.signed_dist),
-        )
-        # Descend only through existing non-planar voxels.
-        reachable = reachable & found & ~is_plane
-    return best
-
-
 def match_points(
     vm: VoxelMap,
     cfg: MapConfig,
