@@ -84,6 +84,12 @@ class StaticConfig(NamedTuple):
     #             high-kernel-overhead targets (see filter_deferred.py).
     pipeline: str = "sequential"
     use_pallas: bool = False  # deferred mode: fuse the ESKF chain in Pallas
+    # Deferred mode: compact valid points to this many rows before the map
+    # insert (0 = no compaction).  Bucket padding is typically ~50% of
+    # NB x P; inserting a mask-compacted subset is order-free and exact as
+    # long as the cap covers every valid point (overflow points are dropped
+    # from the map for that scan only).
+    insert_cap: int = 0
 
 
 class FilterCarry(NamedTuple):

@@ -198,10 +198,18 @@ def process_scan_deferred(
         + pos_covs[:, None]
     )
     mask = packet.point_mask & packet.bucket_mask[:, None]
-    vm = insert_points(
-        carry.vm, scfg.map_cfg,
-        p_w.reshape(nb * p, 3), var.reshape(nb * p, 3, 3), mask.reshape(-1),
-    )
+    p_w_f = p_w.reshape(nb * p, 3)
+    var_f = var.reshape(nb * p, 3, 3)
+    mask_f = mask.reshape(-1)
+    if scfg.insert_cap and scfg.insert_cap < nb * p:
+        # Compact valid points to the front (stable argsort on ~mask) so the
+        # map insert processes ~half the rows; insertion order is
+        # irrelevant to the map semantics.
+        order = jnp.argsort(~mask_f, stable=True)[: scfg.insert_cap]
+        p_w_f = p_w_f[order]
+        var_f = var_f[order]
+        mask_f = mask_f[order]
+    vm = insert_points(carry.vm, scfg.map_cfg, p_w_f, var_f, mask_f)
     carry = carry._replace(vm=vm)
 
     if scfg.map_sliding_en:

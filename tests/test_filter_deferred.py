@@ -66,3 +66,45 @@ def test_deferred_close_to_sequential(simdata):
     n = min(len(ps), len(pd))
     diff = np.linalg.norm(ps[:n] - pd[:n], axis=-1)
     assert diff.max() < 0.05, f"max pipeline divergence {diff.max():.3f} m"
+
+
+def test_insert_cap_equivalence(simdata):
+    """Compacted insertion (cap >= #valid) must match uncompacted exactly."""
+    import jax
+    import jax.numpy as jnp
+    from legkilo_tpu.core import eskf as eskf_mod
+    from legkilo_tpu.core.filter import FilterParams, StaticConfig, init_carry
+    from legkilo_tpu.core.filter_deferred import process_scan_deferred
+    from legkilo_tpu.core.voxel_map import map_config_from
+    from legkilo_tpu.io.dataset import PacketBuilder, to_device_packet
+
+    cfg = make_config("deferred")
+    builder = PacketBuilder(cfg)
+    for ev in simdata.imu:
+        builder.add_imu(ev)
+    packets = []
+    for scan in simdata.scans[:8]:
+        builder.add_scan(scan)
+        while builder.ready():
+            packets.append(builder.pop())
+    base = StaticConfig(
+        map_cfg=map_config_from(cfg.voxel_map), use_kin=False,
+        dept_err=cfg.voxel_map.dept_err, beam_err=cfg.voxel_map.beam_err,
+        pipeline="deferred",
+    )
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(cfg.eskf),
+        ext_r=jnp.eye(3), ext_t=jnp.asarray([0.0, 0.0, 0.2]),
+        g_over_acc_norm=jnp.asarray(1.0),
+    )
+    outs = {}
+    for cap in (0, 4096):
+        scfg = base._replace(insert_cap=cap)
+        carry = init_carry(scfg)
+        for pkt in packets[:5]:
+            carry, out = jax.jit(process_scan_deferred, static_argnums=3)(
+                carry, to_device_packet(pkt), params, scfg
+            )
+        outs[cap] = (np.asarray(out.pos), np.asarray(carry.vm.n()).sum())
+    np.testing.assert_allclose(outs[0][0], outs[4096][0], atol=1e-6)
+    assert outs[0][1] == outs[4096][1]  # same number of points in the map
