@@ -70,6 +70,7 @@ def main() -> None:
         # ~3.2k valid points per scan at this load; 4096 covers all of them
         # while halving the insert-phase row count vs the padded 56*128.
         insert_cap=4096 if pipeline == "deferred" else 0,
+        match_cap=4096 if pipeline == "deferred" else 0,
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),

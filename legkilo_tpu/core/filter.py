@@ -90,6 +90,11 @@ class StaticConfig(NamedTuple):
     # long as the cap covers every valid point (overflow points are dropped
     # from the map for that scan only).
     insert_cap: int = 0
+    # Deferred mode: same compaction for the match phase — the variance
+    # einsums and the voxel-map probe run on match_cap rows instead of the
+    # full NB x P padding, and the per-row results are scattered back to
+    # bucket layout for the chain (0 = no compaction).
+    match_cap: int = 0
 
 
 class FilterCarry(NamedTuple):

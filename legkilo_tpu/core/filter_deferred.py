@@ -56,11 +56,61 @@ def _batched_match(carry, packet, params, scfg):
 
     pts = packet.points                                    # [NB,P,3] body
     p_i = pts @ params.ext_r.T + params.ext_t              # [NB,P,3]
-    p_w = jnp.einsum("bij,bpj->bpi", rb, p_i) + pb[:, None, :]
-
-    body_cov = calc_body_cov(pts, scfg.dept_err, scfg.beam_err)  # [NB,P,3,3]
     crossmat = skew(p_i)                                   # [NB,P,3,3]
     rot_ext = jnp.einsum("bij,jk->bik", rb, params.ext_r)  # [NB,3,3]
+    mask = packet.point_mask & packet.bucket_mask[:, None]
+
+    if scfg.match_cap and scfg.match_cap < nb * p:
+        # Compact valid rows to the front so the variance einsums and the
+        # map probe process match_cap rows instead of the full NB*P
+        # padding.  Rows left behind are invalid (mask False), so their
+        # match outputs never reach the filter — scatter back zeros.
+        mask_f = mask.reshape(-1)
+        order = jnp.argsort(~mask_f, stable=True)[: scfg.match_cap]  # [C]
+        bidx = order // p                                   # owning bucket
+        pts_c = pts.reshape(-1, 3)[order]
+        p_i_c = p_i.reshape(-1, 3)[order]
+        rb_c = rb[bidx]                                     # [C,3,3]
+        p_w_c = jnp.einsum("cij,cj->ci", rb_c, p_i_c) + pb[bidx]
+        body_cov_c = calc_body_cov(pts_c, scfg.dept_err, scfg.beam_err)
+        cross_c = crossmat.reshape(-1, 3, 3)[order]
+        rot_ext_c = rot_ext[bidx]
+        rot_cross_c = jnp.einsum("cij,cjk->cik", rb_c, cross_c)
+        var_c = (
+            jnp.einsum("cij,cjk,clk->cil", rot_ext_c, body_cov_c, rot_ext_c)
+            + jnp.einsum(
+                "cij,jk,clk->cil", rot_cross_c, cov0[0:3, 0:3], rot_cross_c
+            )
+            + cov0[3:6, 3:6]
+        )                                                   # [C,3,3]
+        mask_c = mask_f[order]
+        m = match_points(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c)
+
+        # Measurement variance (KILO.cc:201-209) at predicted poses.
+        j_nq = jnp.concatenate([p_w_c - m.center, -m.normal], axis=-1)
+        single_l = jnp.einsum("ci,cij,cj->c", j_nq, m.plane_var, j_nq)
+        var_bw = jnp.einsum(
+            "cij,cjk,clk->cil", rot_ext_c, body_cov_c, rot_ext_c
+        )
+        r_c = params.noise.lidar_point_meas_ratio * (
+            single_l + jnp.einsum("ci,cij,cj->c", m.normal, var_bw, m.normal)
+        )
+        normal = (
+            jnp.zeros((nb * p, 3), dtype).at[order].set(m.normal)
+        ).reshape(nb, p, 3)
+        center = (
+            jnp.zeros((nb * p, 3), dtype).at[order].set(m.center)
+        ).reshape(nb, p, 3)
+        r_meas = (
+            jnp.zeros((nb * p,), dtype).at[order].set(r_c)
+        ).reshape(nb, p)
+        matched = (
+            jnp.zeros((nb * p,), bool).at[order].set(m.matched & mask_c)
+        ).reshape(nb, p)
+        return p_i, normal, center, r_meas, matched, crossmat
+
+    p_w = jnp.einsum("bij,bpj->bpi", rb, p_i) + pb[:, None, :]
+    body_cov = calc_body_cov(pts, scfg.dept_err, scfg.beam_err)  # [NB,P,3,3]
     rot_cross = jnp.einsum("bij,bpjk->bpik", rb, crossmat)
     var = (
         jnp.einsum("bij,bpjk,blk->bpil", rot_ext, body_cov, rot_ext)
@@ -68,7 +118,6 @@ def _batched_match(carry, packet, params, scfg):
         + cov0[3:6, 3:6]
     )                                                       # [NB,P,3,3]
 
-    mask = packet.point_mask & packet.bucket_mask[:, None]
     m = match_points(
         carry.vm, scfg.map_cfg,
         p_w.reshape(nb * p, 3), var.reshape(nb * p, 3, 3), mask.reshape(-1),

@@ -99,7 +99,7 @@ def test_insert_cap_equivalence(simdata):
     )
     outs = {}
     for cap in (0, 4096):
-        scfg = base._replace(insert_cap=cap)
+        scfg = base._replace(insert_cap=cap, match_cap=cap)
         carry = init_carry(scfg)
         for pkt in packets[:5]:
             carry, out = jax.jit(process_scan_deferred, static_argnums=3)(
