@@ -59,7 +59,7 @@ def main() -> None:
     # The fused Pallas chain is experimental on this target (Mosaic compile
     # pathologies; see docs/PERF_NOTES.md) — opt in via LEGKILO_BENCH_PALLAS=1.
     use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "0") == "1"
-    cfg.voxel_map.insert_rounds = 2  # steady-state: new-voxel creation is rare
+    cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
     scfg = StaticConfig(
         map_cfg=map_config_from(cfg.voxel_map),
         use_kin=False,
@@ -67,10 +67,11 @@ def main() -> None:
         beam_err=cfg.voxel_map.beam_err,
         pipeline=pipeline,
         use_pallas=(pipeline == "deferred" and use_pallas),
-        # ~3.2k valid points per scan at this load; 4096 covers all of them
-        # while halving the insert-phase row count vs the padded 56*128.
-        insert_cap=4096 if pipeline == "deferred" else 0,
-        match_cap=4096 if pipeline == "deferred" else 0,
+        # ~3.2k valid points per scan at this load; 3584 covers all of them
+        # while halving the match/insert-phase row count vs the padded
+        # 56*128 (ATE with these exact knobs verified at 0.006 m on CPU).
+        insert_cap=3584 if pipeline == "deferred" else 0,
+        match_cap=3584 if pipeline == "deferred" else 0,
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),

@@ -104,6 +104,11 @@ class TpuConfig:
     use_native: bool = True        # use native/libscanprep.so when built
     pipeline: str = "sequential"   # "sequential" (reference-faithful) | "deferred"
     use_pallas: bool = False       # deferred mode: fused Pallas ESKF chain
+    # Deferred mode: compact valid rows to this count before the match /
+    # insert phases (0 = off).  Exact as long as the cap covers every valid
+    # point per scan; see core/filter.py StaticConfig.
+    insert_cap: int = 0
+    match_cap: int = 0
     dtype: str = "float32"
 
 
@@ -176,6 +181,8 @@ _TPU_KEY_MAP = {
     "tpu_use_native": "use_native",
     "tpu_pipeline": "pipeline",
     "tpu_use_pallas": "use_pallas",
+    "tpu_insert_cap": "insert_cap",
+    "tpu_match_cap": "match_cap",
     "tpu_dtype": "dtype",
 }
 

@@ -72,6 +72,8 @@ class OdometryRunner:
             return_cloud=return_cloud,
             pipeline=cfg.tpu.pipeline,
             use_pallas=bool(cfg.tpu.use_pallas),
+            insert_cap=max(0, int(cfg.tpu.insert_cap)),
+            match_cap=max(0, int(cfg.tpu.match_cap)),
         )
         ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float64).reshape(3, 3)
         ext_t = np.asarray(cfg.extrinsic_T, dtype=np.float64)

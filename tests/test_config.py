@@ -40,6 +40,7 @@ def test_tpu_keys(tmp_path):
     p.write_text(
         "tpu_max_buckets: 32\ntpu_pipeline: deferred\ntpu_use_pallas: true\n"
         "tpu_map_capacity_log2: 12\ntpu_map_insert_rounds: 3\n"
+        "tpu_insert_cap: 4096\ntpu_match_cap: 2048\n"
     )
     cfg = config_mod.load(str(p))
     assert cfg.tpu.max_buckets == 32
@@ -47,6 +48,8 @@ def test_tpu_keys(tmp_path):
     assert cfg.tpu.use_pallas is True
     assert cfg.voxel_map.capacity_log2 == 12
     assert cfg.voxel_map.insert_rounds == 3
+    assert cfg.tpu.insert_cap == 4096
+    assert cfg.tpu.match_cap == 2048
 
 
 def test_unknown_keys_warn_not_fail(tmp_path, caplog):
