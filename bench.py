@@ -47,9 +47,13 @@ def main() -> None:
     cfg.lidar.blind = 0.3
     cfg.lidar.voxel_grid_resolution = 0.3
     cfg.voxel_map.capacity_log2 = 16
-    cfg.tpu.max_buckets = 56
-    cfg.tpu.max_points_per_bucket = 128
-    # IMU is 50 Hz effective (20 ms) vs 2 ms buckets: at most one event ever
+    # 4 ms buckets: half the sequential ESKF chain depth of the reference's
+    # 2 ms design at equal trajectory quality (ATE 0.005 m either way on the
+    # bench workload; see docs/PERF_NOTES.md).  Same total point rows.
+    cfg.tpu.bucket_quantum_ms = 4.0
+    cfg.tpu.max_buckets = 28
+    cfg.tpu.max_points_per_bucket = 256
+    # IMU is 50 Hz effective (20 ms) vs 4 ms buckets: at most one event ever
     # precedes a bucket, so one padded slot suffices.
     cfg.tpu.max_imu_per_bucket = 1
 

@@ -101,6 +101,10 @@ class TpuConfig:
     max_points_per_bucket: int = 128
     max_imu_per_bucket: int = 4    # padded IMU/kin event slots preceding a bucket
     requantize_buckets: bool = True  # snap post-downsample times back to 2ms grid
+    # Time-bucket size in ms.  2.0 matches the reference's hardcoded quantum
+    # (lidar_processing.cc:48); coarser buckets trade per-bucket update rate
+    # for a shorter sequential ESKF chain (fewer lax.scan steps per scan).
+    bucket_quantum_ms: float = 2.0
     use_native: bool = True        # use native/libscanprep.so when built
     pipeline: str = "sequential"   # "sequential" (reference-faithful) | "deferred"
     use_pallas: bool = False       # deferred mode: fused Pallas ESKF chain
@@ -178,6 +182,7 @@ _TPU_KEY_MAP = {
     "tpu_max_points_per_bucket": "max_points_per_bucket",
     "tpu_max_imu_per_bucket": "max_imu_per_bucket",
     "tpu_requantize_buckets": "requantize_buckets",
+    "tpu_bucket_quantum_ms": "bucket_quantum_ms",
     "tpu_use_native": "use_native",
     "tpu_pipeline": "pipeline",
     "tpu_use_pallas": "use_pallas",

@@ -90,14 +90,18 @@ def decimate_blind(
     return points[keep], time_offset[keep]
 
 
-def quantize_times(time_offset: np.ndarray) -> np.ndarray:
-    """Per-point 2 ms quantization: round(t*500)/500 (lidar_processing.cc:48).
+def quantize_times(
+    time_offset: np.ndarray, quantum: float = TIME_QUANTUM
+) -> np.ndarray:
+    """Per-point time quantization: round(t/quantum)*quantum; the reference
+    hardcodes quantum = 2 ms (lidar_processing.cc:48).
 
     Uses half-away-from-zero rounding (C++ std::round semantics; time
     offsets are non-negative so floor(x + 0.5) is equivalent) — NOT numpy's
     banker's rounding — to stay bit-compatible with the native library.
     """
-    return np.floor(time_offset * 500.0 + 0.5) / 500.0
+    inv = 1.0 / quantum
+    return np.floor(time_offset * inv + 0.5) / inv
 
 
 def voxel_downsample(
@@ -186,8 +190,11 @@ class PacketBuilder:
 
     def build_packet(self, scan: RawScan, events: Sequence) -> HostPacket:
         cfg = self.cfg
+        quantum = cfg.tpu.bucket_quantum_ms * 1e-3
         native_out = None
-        if cfg.tpu.use_native:
+        # The native library hardcodes the reference's 2 ms quantum; any
+        # other bucket size takes the numpy path.
+        if cfg.tpu.use_native and abs(quantum - TIME_QUANTUM) < 1e-9:
             from . import native
 
             native_out = native.process_scan(
@@ -203,13 +210,13 @@ class PacketBuilder:
             pts, toff = decimate_blind(
                 scan.points, scan.time_offset, cfg.lidar.filter_num, cfg.lidar.blind
             )
-            toff = quantize_times(toff)
+            toff = quantize_times(toff, quantum)
             pts, toff = voxel_downsample(pts, toff, cfg.lidar.voxel_grid_resolution)
             if cfg.tpu.requantize_buckets:
-                # Snap averaged centroid times back to the 2 ms grid so the
-                # bucket count stays ~scan_duration/2ms instead of exploding
-                # into singletons (TPU-native choice; see SURVEY.md §3.3).
-                toff = quantize_times(toff)
+                # Snap averaged centroid times back to the bucket grid so the
+                # bucket count stays ~scan_duration/quantum instead of
+                # exploding into singletons (TPU-native choice; SURVEY.md §3.3).
+                toff = quantize_times(toff, quantum)
 
             order = np.argsort(toff, kind="stable")
             pts, toff = pts[order], toff[order]

@@ -110,3 +110,20 @@ def test_time_regression_clears_cache(rng):
     b.add_scan(ds.RawScan(begin_time=1.0, end_time=1.02, points=pts, time_offset=toff))
     assert len(b._scans) == 1  # regression cleared the earlier scan
     assert b._scans[0].begin_time == 1.0
+
+def test_custom_bucket_quantum(rng):
+    """tpu_bucket_quantum_ms=4 puts every bucket on the 4 ms grid and takes
+    the numpy path (native library hardcodes the reference's 2 ms)."""
+    cfg = make_cfg()
+    cfg.tpu.bucket_quantum_ms = 4.0
+    b = ds.PacketBuilder(cfg)
+    n = 600
+    pts = rng.uniform(2, 5, size=(n, 3)).astype(np.float32)
+    toff = np.sort(rng.uniform(0, 0.03, n)).astype(np.float32)
+    scan = ds.RawScan(begin_time=100.0, end_time=100.03, points=pts, time_offset=toff)
+    pkt = b.build_packet(scan, [])
+    bt = pkt.bucket_time[pkt.bucket_mask] - pkt.bucket_time[pkt.bucket_mask][0]
+    steps = np.diff(np.sort(bt))
+    assert (np.abs(steps / 0.004 - np.round(steps / 0.004)) < 1e-6).all()
+    # Coarser buckets => at most ceil(30ms/4ms)+1 of them.
+    assert pkt.bucket_mask.sum() <= 9
