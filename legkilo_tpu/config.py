@@ -66,6 +66,9 @@ class VoxelMapConfig:
     capacity_log2: int = 16
     probe_length: int = 8
     insert_rounds: int = 6
+    # Compacted claim-path width for probe-reusing insertion (new keys per
+    # scan in steady state are few; bursts fall back to the full series).
+    insert_new_cap: int = 512
 
 
 @dataclasses.dataclass
@@ -113,6 +116,12 @@ class TpuConfig:
     # point per scan; see core/filter.py StaticConfig.
     insert_cap: int = 0
     match_cap: int = 0
+    # Deferred-mode chain implementation ("fused" all-elementwise | "jax"
+    # direct ops) and lax.scan unroll factor; see core/filter.py.
+    chain_impl: str = "fused"
+    chain_unroll: int = 1
+    # Fused pipeline: reuse the match-phase table probe for insertion.
+    insert_reuse_probe: bool = True
     dtype: str = "float32"
 
 
@@ -176,6 +185,7 @@ _VOXEL_KEY_MAP = {
     "tpu_map_capacity_log2": "capacity_log2",
     "tpu_map_probe_length": "probe_length",
     "tpu_map_insert_rounds": "insert_rounds",
+    "tpu_map_insert_new_cap": "insert_new_cap",
 }
 _TPU_KEY_MAP = {
     "tpu_max_buckets": "max_buckets",
@@ -188,6 +198,9 @@ _TPU_KEY_MAP = {
     "tpu_use_pallas": "use_pallas",
     "tpu_insert_cap": "insert_cap",
     "tpu_match_cap": "match_cap",
+    "tpu_chain_impl": "chain_impl",
+    "tpu_chain_unroll": "chain_unroll",
+    "tpu_insert_reuse_probe": "insert_reuse_probe",
     "tpu_dtype": "dtype",
 }
 

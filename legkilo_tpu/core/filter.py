@@ -95,6 +95,21 @@ class StaticConfig(NamedTuple):
     # full NB x P padding, and the per-row results are scattered back to
     # bucket layout for the chain (0 = no compaction).
     match_cap: int = 0
+    # Deferred mode chain implementation:
+    #   "jax":   direct lax.scan over eskf.py ops (dot kernels per bucket).
+    #   "fused": all-elementwise chain (eskf_fused.py) — per-bucket point
+    #            reductions hoisted into one batched sufficient-statistics
+    #            matmul, every small product unrolled so XLA fuses the
+    #            bucket step into a handful of kernels.
+    chain_impl: str = "fused"
+    # lax.scan unroll factor for the chain (1 = no unrolling).  With the
+    # fused chain the body is elementwise, so unrolling lets XLA fuse
+    # across buckets too.
+    chain_unroll: int = 1
+    # Fused pipeline: reuse the match phase's hash-table probe for map
+    # insertion (voxel assignment at predicted-pose keys — see
+    # voxel_map.insert_points_hinted and docs/PARITY.md deviations).
+    insert_reuse_probe: bool = True
 
 
 class FilterCarry(NamedTuple):

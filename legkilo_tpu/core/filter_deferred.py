@@ -40,7 +40,81 @@ from . import eskf
 from .filter import FilterCarry, FilterParams, ScanOutput, ScanPacket, StaticConfig
 from .plane_fit import calc_body_cov
 from .so3 import exp_so3, skew
-from .voxel_map import insert_points, match_points, slide_map
+from .voxel_map import (
+    compact_order as _compact_order,
+    insert_points,
+    insert_points_hinted,
+    match_points,
+    slide_map,
+)
+
+
+def _gather(x, order, fill=0.0):
+    return x.at[order].get(mode="fill", fill_value=fill)
+
+
+def _predicted_bucket_poses(carry, packet):
+    """Constant-velocity/rate per-bucket pose prediction (matching only)."""
+    st0 = carry.state
+    dtb = packet.bucket_time                               # [NB]
+    rb = st0.rot @ exp_so3(dtb[:, None] * st0.imu_w[None, :])  # [NB,3,3]
+    pb = st0.pos[None, :] + dtb[:, None] * st0.vel[None, :]    # [NB,3]
+    return rb, pb
+
+
+def _match_compact_stats(carry, packet, params, scfg, cap):
+    """Phase 1 for the fused chain: compacted match + per-bucket sufficient
+    statistics.  Never materializes [NB, P] match outputs — the fused chain
+    consumes only s40/nmatch per bucket, and the insert phase reuses the
+    compacted rows (same mask)."""
+    from . import eskf_fused as ef
+
+    st0, cov0 = carry.state, carry.cov
+    nb, p, _ = packet.points.shape
+    rb, pb = _predicted_bucket_poses(carry, packet)
+
+    mask_f = (packet.point_mask & packet.bucket_mask[:, None]).reshape(-1)
+    order = _compact_order(mask_f, cap)
+    mask_c = _gather(mask_f, order, fill=False)
+    bidx = order // p                                      # [C]; nb when padded
+
+    pts_c = _gather(packet.points.reshape(-1, 3), order)   # [C,3]
+    p_i_c = pts_c @ params.ext_r.T + params.ext_t
+    cross_c = skew(p_i_c)                                  # [C,3,3]
+    body_cov_c = calc_body_cov(pts_c, scfg.dept_err, scfg.beam_err)
+
+    rb_c = rb[jnp.minimum(bidx, nb - 1)]                   # [C,3,3]
+    pb_c = pb[jnp.minimum(bidx, nb - 1)]
+    p_w_c = jnp.einsum("cij,cj->ci", rb_c, p_i_c) + pb_c
+    rot_ext_c = jnp.einsum("cij,jk->cik", rb_c, params.ext_r)
+    rot_cross_c = jnp.einsum("cij,cjk->cik", rb_c, cross_c)
+    var_c = (
+        jnp.einsum("cij,cjk,clk->cil", rot_ext_c, body_cov_c, rot_ext_c)
+        + jnp.einsum("cij,jk,clk->cil", rot_cross_c, cov0[0:3, 0:3], rot_cross_c)
+        + cov0[3:6, 3:6]
+    )
+    m = match_points(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c)
+
+    # Measurement variance (KILO.cc:201-209) at predicted poses.
+    j_nq = jnp.concatenate([p_w_c - m.center, -m.normal], axis=-1)
+    single_l = jnp.einsum("ci,cij,cj->c", j_nq, m.plane_var, j_nq)
+    var_bw = jnp.einsum("cij,cjk,clk->cil", rot_ext_c, body_cov_c, rot_ext_c)
+    r_c = params.noise.lidar_point_meas_ratio * (
+        single_l + jnp.einsum("ci,cij,cj->c", m.normal, var_bw, m.normal)
+    )
+    matched_c = m.matched & mask_c
+
+    s40 = ef.point_suffstats_compact(
+        p_i_c, m.normal, m.center, r_c, matched_c, bidx, nb
+    )
+    nmatch_b = jnp.zeros((nb,), jnp.int32).at[bidx].add(
+        matched_c.astype(jnp.int32), mode="drop"
+    )
+    aux = (
+        order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
+        m.own_keys, m.own_slot, m.own_found,
+    )
+    return s40, nmatch_b, aux
 
 
 def _batched_match(carry, packet, params, scfg):
@@ -66,14 +140,14 @@ def _batched_match(carry, packet, params, scfg):
         # padding.  Rows left behind are invalid (mask False), so their
         # match outputs never reach the filter — scatter back zeros.
         mask_f = mask.reshape(-1)
-        order = jnp.argsort(~mask_f, stable=True)[: scfg.match_cap]  # [C]
-        bidx = order // p                                   # owning bucket
-        pts_c = pts.reshape(-1, 3)[order]
-        p_i_c = p_i.reshape(-1, 3)[order]
+        order = _compact_order(mask_f, scfg.match_cap)      # [C]
+        bidx = jnp.minimum(order // p, nb - 1)              # owning bucket
+        pts_c = _gather(pts.reshape(-1, 3), order)
+        p_i_c = _gather(p_i.reshape(-1, 3), order)
         rb_c = rb[bidx]                                     # [C,3,3]
         p_w_c = jnp.einsum("cij,cj->ci", rb_c, p_i_c) + pb[bidx]
         body_cov_c = calc_body_cov(pts_c, scfg.dept_err, scfg.beam_err)
-        cross_c = crossmat.reshape(-1, 3, 3)[order]
+        cross_c = _gather(crossmat.reshape(-1, 3, 3), order)
         rot_ext_c = rot_ext[bidx]
         rot_cross_c = jnp.einsum("cij,cjk->cik", rb_c, cross_c)
         var_c = (
@@ -83,7 +157,7 @@ def _batched_match(carry, packet, params, scfg):
             )
             + cov0[3:6, 3:6]
         )                                                   # [C,3,3]
-        mask_c = mask_f[order]
+        mask_c = _gather(mask_f, order, fill=False)
         m = match_points(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c)
 
         # Measurement variance (KILO.cc:201-209) at predicted poses.
@@ -96,16 +170,16 @@ def _batched_match(carry, packet, params, scfg):
             single_l + jnp.einsum("ci,cij,cj->c", m.normal, var_bw, m.normal)
         )
         normal = (
-            jnp.zeros((nb * p, 3), dtype).at[order].set(m.normal)
+            jnp.zeros((nb * p, 3), dtype).at[order].set(m.normal, mode="drop")
         ).reshape(nb, p, 3)
         center = (
-            jnp.zeros((nb * p, 3), dtype).at[order].set(m.center)
+            jnp.zeros((nb * p, 3), dtype).at[order].set(m.center, mode="drop")
         ).reshape(nb, p, 3)
         r_meas = (
-            jnp.zeros((nb * p,), dtype).at[order].set(r_c)
+            jnp.zeros((nb * p,), dtype).at[order].set(r_c, mode="drop")
         ).reshape(nb, p)
         matched = (
-            jnp.zeros((nb * p,), bool).at[order].set(m.matched & mask_c)
+            jnp.zeros((nb * p,), bool).at[order].set(m.matched & mask_c, mode="drop")
         ).reshape(nb, p)
         return p_i, normal, center, r_meas, matched, crossmat
 
@@ -205,6 +279,200 @@ def _chain_jax(carry, packet, params, scfg, p_i, normal, center, r_meas, matched
     return carry, rots, poss, rot_covs, pos_covs, nmatch
 
 
+def _chain_jax_fused(
+    carry, packet, params, scfg, p_i, normal, center, r_meas, matched
+):
+    """Phase 2 (all-elementwise variant) from full [NB, P] match outputs —
+    used when a caller has bucket-layout data (e.g. phase benchmarks); the
+    production fused path goes through _match_compact_stats +
+    _chain_fused_core instead."""
+    from . import eskf_fused as ef
+
+    s40 = ef.point_suffstats(p_i, normal, center, r_meas, matched)  # [NB,40,40]
+    nmatch_b = jnp.sum(matched.astype(jnp.int32), axis=-1)          # [NB]
+    return _chain_fused_core(carry, packet, params, scfg, s40, nmatch_b)
+
+
+def _chain_fused_core(carry, packet, params, scfg, s40, nmatch_b):
+    """Identical recursion to _chain_jax, built from eskf_fused ops so each
+    bucket step emits no dot/reduce/scatter kernels: the per-bucket point
+    normal equations come from sufficient statistics (s40) computed once per
+    scan, so the sequential chain touches no per-point data.
+
+    All per-bucket inputs are packed into ONE [NB, width] row and all
+    per-bucket outputs into ONE [31] vector so each scan iteration does a
+    single dynamic-slice and a single dynamic-update-slice instead of ~16 —
+    on this target every such op in the sequential loop is a kernel launch.
+    """
+    from . import eskf_fused as ef
+
+    kmax = packet.imu_time.shape[1]
+    dtype = carry.cov.dtype
+    nb = packet.bucket_time.shape[0]
+
+    parts = [
+        packet.bucket_time[:, None],
+        packet.bucket_mask.astype(dtype)[:, None],
+        nmatch_b.astype(dtype)[:, None],
+        packet.imu_time,                              # [NB,K]
+        packet.imu_mask.astype(dtype),                # [NB,K]
+        packet.imu_acc.reshape(nb, 3 * kmax),
+        packet.imu_gyr.reshape(nb, 3 * kmax),
+    ]
+    if scfg.use_kin:
+        parts += [
+            packet.foot_pos.reshape(nb, 12 * kmax),
+            packet.foot_vel.reshape(nb, 12 * kmax),
+            packet.contact.astype(dtype).reshape(nb, 4 * kmax),
+        ]
+    parts.append(s40.reshape(nb, ef.N_FEAT * ef.N_FEAT))
+    xs = jnp.concatenate(parts, axis=-1)              # [NB, width]
+
+    def bucket_step(c, row):
+        bt, bgate_f, nm_f = row[0], row[1], row[2]
+        o = 3
+        it = row[o : o + kmax]; o += kmax
+        igate_f = row[o : o + kmax]; o += kmax
+        acc = row[o : o + 3 * kmax].reshape(kmax, 3); o += 3 * kmax
+        gyr = row[o : o + 3 * kmax].reshape(kmax, 3); o += 3 * kmax
+        if scfg.use_kin:
+            fp = row[o : o + 12 * kmax].reshape(kmax, 4, 3); o += 12 * kmax
+            fv = row[o : o + 12 * kmax].reshape(kmax, 4, 3); o += 12 * kmax
+            ct = row[o : o + 4 * kmax].reshape(kmax, 4); o += 4 * kmax
+        s40_b = row[o:].reshape(ef.N_FEAT, ef.N_FEAT)
+
+        st, cov = c.state, c.cov
+        lp, lu = c.last_predict_t, c.last_update_t
+
+        for k in range(kmax):
+            g = igate_f[k] > 0.5
+            gf = igate_f[k]
+            st, cov = ef.predict(
+                st, cov, params.noise.q_diag,
+                (it[k] - lp) * gf, (it[k] - lu) * gf,
+            )
+            if scfg.use_kin:
+                h, z, r, _ = ef.build_kin_obs(
+                    st, acc[k], gyr[k], fp[k], fv[k], ct[k],
+                    params.noise, params.g_over_acc_norm,
+                )
+                st, cov = ef.update_by_kin_imu(st, cov, h, z, r, gate=gf)
+            else:
+                z6 = eskf.imu_innovation(st, acc[k], gyr[k], params.g_over_acc_norm)
+                st, cov = ef.update_by_imu(
+                    st, cov, z6, params.noise.imu_meas_r, gate=gf
+                )
+            lp = jnp.where(g, it[k], lp)
+            lu = jnp.where(g, it[k], lu)
+
+        bgate = bgate_f > 0.5
+        st, cov = ef.predict(
+            st, cov, params.noise.q_diag, (bt - lp) * bgate_f, (bt - lu) * bgate_f
+        )
+        lp = jnp.where(bgate, bt, lp)
+
+        # Empty buckets have S = 0 -> exact no-op (dx = 0, cov unchanged).
+        st, cov = ef.point_update_from_stats(st, cov, s40_b)
+        lu = jnp.where(bgate & (nm_f > 0.5), bt, lu)
+
+        out = jnp.concatenate(
+            [
+                st.rot.reshape(9),
+                st.pos,
+                cov[0:3, 0:3].reshape(9),
+                cov[3:6, 3:6].reshape(9),
+                nm_f[None],
+            ]
+        )                                              # [31]
+        return c._replace(state=st, cov=cov, last_predict_t=lp, last_update_t=lu), out
+
+    carry, outs = jax.lax.scan(
+        bucket_step, carry, xs, unroll=max(1, scfg.chain_unroll)
+    )
+    rots = outs[:, 0:9].reshape(nb, 3, 3)
+    poss = outs[:, 9:12]
+    rot_covs = outs[:, 12:21].reshape(nb, 3, 3)
+    pos_covs = outs[:, 21:30].reshape(nb, 3, 3)
+    nmatch = outs[:, 30].astype(jnp.int32)
+    return carry, rots, poss, rot_covs, pos_covs, nmatch
+
+
+def _process_scan_fused(
+    carry: FilterCarry,
+    packet: ScanPacket,
+    params: FilterParams,
+    scfg: StaticConfig,
+) -> Tuple[FilterCarry, ScanOutput]:
+    """Fused-chain scan step: every per-point phase runs on one shared
+    mask-compaction (match, sufficient statistics, insert) and the chain
+    consumes only per-bucket statistics.  Semantics identical to the
+    bucket-layout path (equivalence covered by tests/test_eskf_fused.py and
+    the cross-pipeline ATE tests)."""
+    nb, p, _ = packet.points.shape
+    cap = max(scfg.match_cap, scfg.insert_cap) or nb * p
+    cap = min(cap, nb * p)
+
+    s40, nmatch_b, aux = _match_compact_stats(carry, packet, params, scfg, cap)
+    (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
+     own_keys, own_slot, own_found) = aux
+
+    carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_fused_core(
+        carry, packet, params, scfg, s40, nmatch_b
+    )
+
+    # Phase 3 on the same compacted rows: recompute world points with
+    # post-update per-bucket poses, then one batched insert
+    # (KILO.cc:216-231 recompute + UpdateVoxelMap).
+    bidx_c = jnp.minimum(bidx, nb - 1)
+    rb2 = rots[bidx_c]
+    pb2 = poss[bidx_c]
+    p_w_c = jnp.einsum("cij,cj->ci", rb2, p_i_c) + pb2
+    rot_ext2 = jnp.einsum("cij,jk->cik", rb2, params.ext_r)
+    rot_cross2 = jnp.einsum("cij,cjk->cik", rb2, cross_c)
+    var_c = (
+        jnp.einsum("cij,cjk,clk->cil", rot_ext2, body_cov_c, rot_ext2)
+        + jnp.einsum("cij,cjk,clk->cil", rot_cross2, rot_covs[bidx_c], rot_cross2)
+        + pos_covs[bidx_c]
+    )
+    if scfg.insert_reuse_probe:
+        vm = insert_points_hinted(
+            carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c,
+            own_keys, own_slot, own_found,
+        )
+    else:
+        vm = insert_points(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c)
+    carry = carry._replace(vm=vm)
+
+    if scfg.map_sliding_en:
+        moved = jnp.linalg.norm(carry.state.pos - carry.last_slide_pos)
+        trigger = moved >= scfg.sliding_thresh
+        vm_slid = slide_map(
+            carry.vm, scfg.map_cfg, carry.state.pos, scfg.half_map_size
+        )
+        vm2 = jax.tree.map(
+            lambda a, b: jnp.where(trigger, a, b), vm_slid, carry.vm
+        )
+        carry = carry._replace(
+            vm=vm2,
+            last_slide_pos=jnp.where(trigger, carry.state.pos, carry.last_slide_pos),
+        )
+
+    cloud = None
+    if scfg.return_cloud:
+        p_i = packet.points @ params.ext_r.T + params.ext_t
+        cloud = jnp.einsum("bij,bpj->bpi", rots, p_i) + poss[:, None, :]
+
+    mask = packet.point_mask & packet.bucket_mask[:, None]
+    out = ScanOutput(
+        rot=carry.state.rot,
+        pos=carry.state.pos,
+        n_matched=jnp.sum(nmatch),
+        n_points=jnp.sum(mask.astype(jnp.int32)),
+        cloud_world=cloud,
+    )
+    return carry, out
+
+
 def process_scan_deferred(
     carry: FilterCarry,
     packet: ScanPacket,
@@ -218,6 +486,9 @@ def process_scan_deferred(
         last_predict_t=carry.last_predict_t - packet.rebase,
         last_update_t=carry.last_update_t - packet.rebase,
     )
+
+    if scfg.chain_impl == "fused" and not scfg.use_pallas:
+        return _process_scan_fused(carry, packet, params, scfg)
 
     p_i, normal, center, r_meas, matched, crossmat = _batched_match(
         carry, packet, params, scfg
@@ -251,13 +522,13 @@ def process_scan_deferred(
     var_f = var.reshape(nb * p, 3, 3)
     mask_f = mask.reshape(-1)
     if scfg.insert_cap and scfg.insert_cap < nb * p:
-        # Compact valid points to the front (stable argsort on ~mask) so the
-        # map insert processes ~half the rows; insertion order is
-        # irrelevant to the map semantics.
-        order = jnp.argsort(~mask_f, stable=True)[: scfg.insert_cap]
-        p_w_f = p_w_f[order]
-        var_f = var_f[order]
-        mask_f = mask_f[order]
+        # Compact valid points to the front so the map insert processes
+        # ~half the rows; insertion order is irrelevant to the map
+        # semantics.
+        order = _compact_order(mask_f, scfg.insert_cap)
+        p_w_f = _gather(p_w_f, order)
+        var_f = _gather(var_f, order)
+        mask_f = _gather(mask_f, order, fill=False)
     vm = insert_points(carry.vm, scfg.map_cfg, p_w_f, var_f, mask_f)
     carry = carry._replace(vm=vm)
 

@@ -74,6 +74,9 @@ class OdometryRunner:
             use_pallas=bool(cfg.tpu.use_pallas),
             insert_cap=max(0, int(cfg.tpu.insert_cap)),
             match_cap=max(0, int(cfg.tpu.match_cap)),
+            chain_impl=cfg.tpu.chain_impl,
+            chain_unroll=max(1, int(cfg.tpu.chain_unroll)),
+            insert_reuse_probe=bool(cfg.tpu.insert_reuse_probe),
         )
         ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float64).reshape(3, 3)
         ext_t = np.asarray(cfg.extrinsic_T, dtype=np.float64)
