@@ -60,9 +60,10 @@ def main() -> None:
     data = sim.simulate(sim.SimConfig(duration=6.0, scan_points=8000, seed=7))
 
     pipeline = os.environ.get("LEGKILO_BENCH_PIPELINE", "deferred")
-    # The fused Pallas chain is experimental on this target (Mosaic compile
-    # pathologies; see docs/PERF_NOTES.md) — opt in via LEGKILO_BENCH_PALLAS=1.
-    use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "0") == "1"
+    # The suffstats Pallas chain kernel (ops/pallas/chain_stats.py) is the
+    # production fast path (14.4 -> 10.1 ms/scan); LEGKILO_BENCH_PALLAS=0
+    # falls back to the lax.scan chain.
+    use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "1") == "1"
     cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
     scfg = StaticConfig(
         map_cfg=map_config_from(cfg.voxel_map),

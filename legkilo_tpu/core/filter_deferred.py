@@ -416,9 +416,16 @@ def _process_scan_fused(
     (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
      own_keys, own_slot, own_found) = aux
 
-    carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_fused_core(
-        carry, packet, params, scfg, s40, nmatch_b
-    )
+    if scfg.use_pallas:
+        from ..ops.pallas.chain_stats import run_chain_stats
+
+        carry, rots, poss, rot_covs, pos_covs, nmatch = run_chain_stats(
+            carry, packet, params, s40, nmatch_b, use_kin=scfg.use_kin
+        )
+    else:
+        carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_fused_core(
+            carry, packet, params, scfg, s40, nmatch_b
+        )
 
     # Phase 3 on the same compacted rows: recompute world points with
     # post-update per-bucket poses, then one batched insert
@@ -487,7 +494,9 @@ def process_scan_deferred(
         last_update_t=carry.last_update_t - packet.rebase,
     )
 
-    if scfg.chain_impl == "fused" and not scfg.use_pallas:
+    if scfg.chain_impl == "fused":
+        # Handles both the all-elementwise lax.scan chain and (use_pallas)
+        # the single fused Pallas kernel over the same sufficient statistics.
         return _process_scan_fused(carry, packet, params, scfg)
 
     p_i, normal, center, r_meas, matched, crossmat = _batched_match(
