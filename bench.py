@@ -99,7 +99,9 @@ def main() -> None:
         from legkilo_tpu.core.filter_deferred import process_scan_deferred as step_fn
     else:
         step_fn = process_scan
-    step = jax.jit(step_fn, static_argnums=3)
+    # Donating the carry lets XLA update the voxel-map tables (~140 MB of
+    # meta/mom/plane rows) in place instead of copying them every scan.
+    step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
     carry = init_carry(scfg)
 
     dev_packets = [to_device_packet(p) for p in packets]

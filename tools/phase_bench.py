@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", default="fused")
+    ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--reps", type=int, default=30)
     args = ap.parse_args()
@@ -64,6 +65,7 @@ def main() -> None:
         match_cap=3584,
         chain_impl=args.chain,
         chain_unroll=args.unroll,
+        use_pallas=args.pallas,
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
@@ -109,6 +111,10 @@ def main() -> None:
          own_keys, own_slot, own_found) = aux
 
         def phase_chain_c(carry, packet, s40, nmatch_b):
+            if args.pallas:
+                from legkilo_tpu.ops.pallas.chain_stats import run_chain_stats
+                return run_chain_stats(carry, packet, params, s40, nmatch_b,
+                                       use_kin=scfg.use_kin)
             return fd._chain_fused_core(carry, packet, params, scfg, s40, nmatch_b)
 
         jcc = jax.jit(phase_chain_c)
