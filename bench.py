@@ -64,6 +64,7 @@ def main() -> None:
     # production fast path (14.4 -> 10.1 ms/scan); LEGKILO_BENCH_PALLAS=0
     # falls back to the lax.scan chain.
     use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "1") == "1"
+    use_pallas_match = os.environ.get("LEGKILO_BENCH_PALLAS_MATCH", "1") == "1"
     cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
     scfg = StaticConfig(
         map_cfg=map_config_from(cfg.voxel_map),
@@ -72,6 +73,7 @@ def main() -> None:
         beam_err=cfg.voxel_map.beam_err,
         pipeline=pipeline,
         use_pallas=(pipeline == "deferred" and use_pallas),
+        use_pallas_match=(pipeline == "deferred" and use_pallas_match),
         # ~3.2k valid points per scan at this load; 3584 covers all of them
         # while halving the match/insert-phase row count vs the padded
         # 56*128 (ATE with these exact knobs verified at 0.006 m on CPU).

@@ -110,6 +110,9 @@ class StaticConfig(NamedTuple):
     # insertion (voxel assignment at predicted-pose keys — see
     # voxel_map.insert_points_hinted and docs/PARITY.md deviations).
     insert_reuse_probe: bool = True
+    # Fused pipeline: run the match phase's per-point math in two Pallas
+    # kernels (ops/pallas/match_geom.py); requires match_cap % 128 == 0.
+    use_pallas_match: bool = False
 
 
 class FilterCarry(NamedTuple):

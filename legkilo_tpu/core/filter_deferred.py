@@ -117,6 +117,141 @@ def _match_compact_stats(carry, packet, params, scfg, cap):
     return s40, nmatch_b, aux
 
 
+def _pick_block(c: int) -> int:
+    for b in (512, 256, 128):
+        if c % b == 0:
+            return b
+    return 0
+
+
+def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
+    """_match_compact_stats with the per-point math in two Pallas kernels.
+
+    Identical contract and semantics (equivalence: tests/test_match_geom.py);
+    only the hash-table probe and the meta/plane gathers stay in XLA.  Data
+    flows in transposed SoA layout ([component, point]) so each in-kernel op
+    is a full-lane vector op; see ops/pallas/match_geom.py.
+    """
+    from . import eskf_fused as ef
+    from ..ops.pallas import match_geom as mg
+
+    cov0 = carry.cov
+    nb, p, _ = packet.points.shape
+    dtype = cov0.dtype
+    mcfg = scfg.map_cfg
+    L, C = mcfg.levels, mcfg.capacity
+    miss = L * C
+    block = _pick_block(cap)
+    interpret = jax.default_backend() == "cpu"
+    rb, pb = _predicted_bucket_poses(carry, packet)
+
+    mask_f = (packet.point_mask & packet.bucket_mask[:, None]).reshape(-1)
+    order = _compact_order(mask_f, cap)
+    mask_c = _gather(mask_f, order, fill=False)
+    bidx = order // p                                      # nb when padded
+    bidx_c = jnp.minimum(bidx, nb - 1)
+
+    pts_c = _gather(packet.points.reshape(-1, 3), order)   # [cap, 3]
+    pts_t = pts_c.T                                        # [3, cap]
+    rb_t = jnp.take(rb.reshape(nb, 9).T, bidx_c, axis=1)   # [9, cap]
+    pb_t = jnp.take(pb.T, bidx_c, axis=1)                  # [3, cap]
+
+    sizes = [
+        mcfg.voxel_size / (2.0 ** lvl) for lvl in range(L)
+    ] + [0.0] * (4 - L)
+    par1 = jnp.zeros((1, 64), dtype=dtype)
+    par1 = par1.at[0, mg._P_EXT_R : mg._P_EXT_R + 9].set(params.ext_r.reshape(9))
+    par1 = par1.at[0, mg._P_EXT_T : mg._P_EXT_T + 3].set(params.ext_t)
+    par1 = par1.at[0, mg._P_SIZES : mg._P_SIZES + 4].set(jnp.asarray(sizes, dtype))
+    par1 = par1.at[0, mg._P_COV_RR : mg._P_COV_RR + 9].set(cov0[0:3, 0:3].reshape(9))
+    par1 = par1.at[0, mg._P_COV_PP : mg._P_COV_PP + 9].set(cov0[3:6, 3:6].reshape(9))
+    par1 = par1.at[0, mg._P_DEPT].set(scfg.dept_err)
+    par1 = par1.at[0, mg._P_BEAM].set(scfg.beam_err)
+
+    piw_t, covs_t, keys_t, vc_t, idx0_t = mg.keys_call(
+        par1, pts_t, rb_t, pb_t, levels=L, capacity=C,
+        interpret=interpret, block=block,
+    )
+
+    # ---- probe (XLA: index arithmetic + ONE wide gather) ----
+    # Random-row gathers are latency-bound per index on this target
+    # (docs/PERF_NOTES.md), so key/occ/is_plane are fused into one row per
+    # slot and fetched by a single gather; is_plane rides along and the
+    # separate meta gather disappears.
+    offs = jnp.arange(mcfg.probe, dtype=jnp.int32)
+    h0 = idx0_t & (C - 1)
+    base = idx0_t - h0
+    idx = base[:, :, None] + ((h0[:, :, None] + offs[None, None, :]) & (C - 1))
+    ktab = jnp.concatenate(
+        [
+            carry.vm.key.reshape(miss, 3),
+            carry.vm.occ.reshape(miss, 1).astype(jnp.int32),
+            (carry.vm.meta.reshape(miss, -1)[:, 4] > 0.5).astype(jnp.int32)[
+                :, None
+            ],
+        ],
+        axis=-1,
+    )                                                      # [miss, 5]
+    k_at = ktab[idx]                                       # [2L, cap, probe, 5]
+    keys_cmp = keys_t.reshape(2 * L, 3, cap).transpose(0, 2, 1)
+    match = (k_at[..., 3] > 0) & jnp.all(
+        k_at[..., 0:3] == keys_cmp[:, :, None, :], axis=-1
+    )
+    found = jnp.any(match, axis=-1)                        # [2L, cap]
+    first = jnp.argmax(match, axis=-1)
+    slot = jnp.where(
+        found,
+        jnp.take_along_axis(idx, first[:, :, None], axis=-1)[..., 0],
+        miss,
+    )
+    isp = (
+        jnp.take_along_axis(k_at[..., 4], first[:, :, None], axis=-1)[..., 0]
+        > 0
+    ) & found                                              # [2L, cap]
+
+    plane_at = carry.vm.plane.reshape(miss, -1).at[slot].get(
+        mode="fill", fill_value=0.0
+    )                                                      # [2L, cap, 46]
+    plane_t = plane_at.transpose(0, 2, 1).reshape(2 * L * 46, cap)
+    flags_t = jnp.concatenate(
+        [found.astype(dtype), isp.astype(dtype)], axis=0
+    )
+    mask_t = mask_c.astype(dtype)[None, :]
+
+    par2 = jnp.zeros((1, 8), dtype=dtype)
+    par2 = par2.at[0, mg._Q_SIGMA].set(mcfg.sigma_num)
+    par2 = par2.at[0, mg._Q_RADIUS].set(mcfg.radius_k)
+    par2 = par2.at[0, mg._Q_RATIO].set(params.noise.lidar_point_meas_ratio)
+
+    out = mg.select_call(
+        par2, piw_t, covs_t[0:18], vc_t, plane_t, flags_t, mask_t,
+        levels=L, interpret=interpret, block=block,
+    )
+    matched_f = out[0]                                     # [cap] f32
+    feat_t = out[6:46]                                     # [40, cap]
+    featw_t = feat_t * out[1][None, :]
+
+    onehot = (
+        bidx[None, :] == jnp.arange(nb, dtype=bidx.dtype)[:, None]
+    ).astype(dtype)                                        # [nb, cap]
+    lhs = onehot[:, None, :] * featw_t[None, :, :]         # [nb, 40, cap]
+    s40 = jnp.einsum("bic,jc->bij", lhs, feat_t)           # [nb, 40, 40]
+    nmatch_b = jnp.einsum("bc,c->b", onehot, matched_f).astype(jnp.int32)
+
+    p_i_c = piw_t[0:3].T                                   # [cap, 3]
+    cross_c = skew(p_i_c)
+    body_cov_c = covs_t[18:27].T.reshape(cap, 3, 3)
+    own_keys = keys_t[0 : 3 * L].reshape(L, 3, cap).transpose(0, 2, 1)
+    own_slot = slot[0:L]
+    own_found = found[0:L]
+
+    aux = (
+        order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
+        own_keys, own_slot, own_found,
+    )
+    return s40, nmatch_b, aux
+
+
 def _batched_match(carry, packet, params, scfg):
     """Phase 1: predicted poses, point transforms/vars, batched match."""
     st0, cov0 = carry.state, carry.cov
@@ -412,7 +547,12 @@ def _process_scan_fused(
     cap = max(scfg.match_cap, scfg.insert_cap) or nb * p
     cap = min(cap, nb * p)
 
-    s40, nmatch_b, aux = _match_compact_stats(carry, packet, params, scfg, cap)
+    if scfg.use_pallas_match and _pick_block(cap):
+        s40, nmatch_b, aux = _match_compact_stats_pallas(
+            carry, packet, params, scfg, cap
+        )
+    else:
+        s40, nmatch_b, aux = _match_compact_stats(carry, packet, params, scfg, cap)
     (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
      own_keys, own_slot, own_found) = aux
 

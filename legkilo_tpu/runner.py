@@ -72,6 +72,7 @@ class OdometryRunner:
             return_cloud=return_cloud,
             pipeline=cfg.tpu.pipeline,
             use_pallas=bool(cfg.tpu.use_pallas),
+            use_pallas_match=bool(cfg.tpu.use_pallas_match),
             insert_cap=max(0, int(cfg.tpu.insert_cap)),
             match_cap=max(0, int(cfg.tpu.match_cap)),
             chain_impl=cfg.tpu.chain_impl,

@@ -24,6 +24,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", default="fused")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas-match", action="store_true")
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--reps", type=int, default=30)
     args = ap.parse_args()
@@ -66,6 +67,7 @@ def main() -> None:
         chain_impl=args.chain,
         chain_unroll=args.unroll,
         use_pallas=args.pallas,
+        use_pallas_match=args.pallas_match,
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
@@ -102,6 +104,8 @@ def main() -> None:
         cap = max(scfg.match_cap, scfg.insert_cap) or nb_ * p_
 
         def phase_match_c(carry, packet):
+            if args.pallas_match:
+                return fd._match_compact_stats_pallas(carry, packet, params, scfg, cap)
             return fd._match_compact_stats(carry, packet, params, scfg, cap)
 
         jmc = jax.jit(phase_match_c)
