@@ -65,9 +65,16 @@ def main() -> None:
     # falls back to the lax.scan chain.
     use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "1") == "1"
     use_pallas_match = os.environ.get("LEGKILO_BENCH_PALLAS_MATCH", "1") == "1"
+    # Off by default: with the carry pinned row-major, the refit kernel's
+    # transposed inputs re-trigger a whole-table layout conversion
+    # (+0.56 ms); it only pays on rigs where layouts float (PERF_NOTES.md).
+    use_pallas_refit = os.environ.get("LEGKILO_BENCH_PALLAS_REFIT", "0") == "1"
     cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
     scfg = StaticConfig(
-        map_cfg=map_config_from(cfg.voxel_map),
+        map_cfg=map_config_from(
+            cfg.voxel_map,
+            use_pallas_refit=(pipeline == "deferred" and use_pallas_refit),
+        ),
         use_kin=False,
         dept_err=cfg.voxel_map.dept_err,
         beam_err=cfg.voxel_map.beam_err,
@@ -103,8 +110,28 @@ def main() -> None:
         step_fn = process_scan
     # Donating the carry lets XLA update the voxel-map tables (~140 MB of
     # meta/mom/plane rows) in place instead of copying them every scan.
-    step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
+    # Pinning the carry to row-major layouts prevents XLA layout assignment
+    # from picking transposed layouts for the map tables, which otherwise
+    # costs ~3 ms/scan in whole-table layout-conversion copies around the
+    # insert-phase scatters (docs/PERF_NOTES.md).
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
     carry = init_carry(scfg)
+    dev = jax.devices()[0]
+    carry_fmt = jax.tree.map(
+        lambda x: Format(
+            Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)
+        ),
+        carry,
+    )
+    step = jax.jit(
+        step_fn,
+        static_argnums=3,
+        donate_argnums=0,
+        in_shardings=(carry_fmt, None, None),
+        out_shardings=(carry_fmt, None),
+    )
 
     dev_packets = [to_device_packet(p) for p in packets]
     # Warm-up / map bootstrap on the first packets (includes compile).

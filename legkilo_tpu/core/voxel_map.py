@@ -75,9 +75,10 @@ class MapConfig(NamedTuple):
     radius_k: float = 3.0    # range gate multiplier (voxel_map.cc:369)
     refit_budget: int = 2048  # max plane refits per insert call (per level)
     insert_new_cap: int = 512  # compacted claim-path width (hinted insert)
+    use_pallas_refit: bool = False  # one-launch refit kernel (plane_fit_rows)
 
 
-def map_config_from(cfg) -> MapConfig:
+def map_config_from(cfg, use_pallas_refit: bool = False) -> MapConfig:
     """Build a MapConfig from config.VoxelMapConfig."""
     levels = cfg.max_layer + 1
     return MapConfig(
@@ -91,6 +92,7 @@ def map_config_from(cfg) -> MapConfig:
         init_num=tuple(int(x) for x in cfg.layer_init_num[:levels]),
         insert_rounds=int(getattr(cfg, "insert_rounds", 6)),
         insert_new_cap=int(getattr(cfg, "insert_new_cap", 512)),
+        use_pallas_refit=bool(use_pallas_refit),
     )
 
 
@@ -539,29 +541,43 @@ def _insert_finish(
 
     meta_r = meta_flat.at[fs].get(mode="fill", fill_value=0.0)
     mom_r = mom_flat.at[fs].get(mode="fill", fill_value=0.0)
-    n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
-    fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
-    plane_rows = jnp.concatenate(
-        [
-            fit.center_rel,
-            fit.normal,
-            fit.evals,
-            fit.radius[:, None],
-            fit.plane_var.reshape(-1, 36),
-        ],
-        axis=-1,
-    )
+    if cfg.use_pallas_refit and cfg.refit_budget % 128 == 0:
+        # One-launch fit kernel over transposed rows — folds the ~380 XLA
+        # entry instructions of fit_planes into a single dispatch
+        # (docs/PERF_NOTES.md; equivalence: tests/test_plane_fit_pallas.py).
+        from ..ops.pallas.plane_fit_rows import fit_rows_call
+
+        par = jnp.zeros((1, 8), dtype=dtype).at[0, 0].set(cfg.planer_threshold)
+        out = fit_rows_call(
+            par, mom_r.T, meta_r.T,
+            interpret=jax.default_backend() == "cpu",
+        )
+        plane_rows = out[0:46].T
+        meta_fit = out[46:51].T
+    else:
+        n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
+        fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
+        plane_rows = jnp.concatenate(
+            [
+                fit.center_rel,
+                fit.normal,
+                fit.evals,
+                fit.radius[:, None],
+                fit.plane_var.reshape(-1, 36),
+            ],
+            axis=-1,
+        )
+        meta_fit = jnp.stack(
+            [
+                meta_r[:, _M_N],
+                jnp.zeros_like(meta_r[:, _M_N]),      # new_n reset
+                meta_r[:, _M_FROZEN],
+                jnp.ones_like(meta_r[:, _M_N]),       # initialized
+                fit.is_plane.astype(dtype),
+            ],
+            axis=-1,
+        )
     plane_flat = plane_flat.at[fs].set(plane_rows, mode="drop")
-    meta_fit = jnp.stack(
-        [
-            meta_r[:, _M_N],
-            jnp.zeros_like(n_r),                      # new_n reset
-            meta_r[:, _M_FROZEN],
-            jnp.ones_like(n_r),                       # initialized
-            fit.is_plane.astype(dtype),
-        ],
-        axis=-1,
-    )
     meta_flat = meta_flat.at[fs].set(meta_fit, mode="drop")
 
     return vm._replace(

@@ -19,6 +19,27 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
+# Abramowitz–Stegun 4.4.46 coefficients for acos on [0, 1].
+_ACOS_C = (
+    1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+    0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911,
+)
+
+
+def acos_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """arccos via the A&S 4.4.46 polynomial (|err| <= 2e-8, f32-exact).
+
+    Mosaic (Pallas TPU) has no acos lowering, so the Pallas refit kernel
+    (ops/pallas/plane_fit_rows.py) needs this form; eigh3x3 uses the same
+    polynomial so both paths compute identical math.
+    """
+    ax = jnp.clip(jnp.abs(x), 0.0, 1.0)
+    poly = _ACOS_C[7]
+    for c in _ACOS_C[6::-1]:
+        poly = poly * ax + c
+    a = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * poly
+    return jnp.where(x < 0.0, jnp.pi - a, a)
+
 
 def eigh3x3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigendecomposition of symmetric [..., 3, 3] matrices.
@@ -47,7 +68,7 @@ def eigh3x3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
     )
     r = jnp.clip(detB / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
+    phi = acos_poly(r) / 3.0
 
     e_max = q + 2.0 * p * jnp.cos(phi)
     e_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
@@ -109,7 +130,10 @@ def _eigvec(A: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     plane_fallback = _any_orthogonal(rbest / jnp.maximum(rbest_n, _EPS))
     sphere_fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
     fallback = jnp.where(rbest_n > _EPS, plane_fallback, sphere_fallback)
-    good_cross = nrm * nrm > 1e-12 * scale * scale
+    # nrm > _EPS keeps the normalization exact: a cross that passes the
+    # scale-relative test but underflows the guard would otherwise yield a
+    # non-unit "eigenvector" (seen with ~0 matrices in f32).
+    good_cross = (nrm * nrm > 1e-12 * scale * scale) & (nrm > _EPS)
     v = jnp.where(good_cross, v / jnp.maximum(nrm, _EPS), fallback)
     return v
 

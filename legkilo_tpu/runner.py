@@ -62,7 +62,9 @@ class OdometryRunner:
         self.cfg = cfg
         self.dtype = dtype
         self.scfg = StaticConfig(
-            map_cfg=map_config_from(cfg.voxel_map),
+            map_cfg=map_config_from(
+                cfg.voxel_map, use_pallas_refit=bool(cfg.tpu.use_pallas_refit)
+            ),
             use_kin=not cfg.only_imu_use,
             dept_err=float(cfg.voxel_map.dept_err),
             beam_err=float(cfg.voxel_map.beam_err),
