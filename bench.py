@@ -125,6 +125,10 @@ def main() -> None:
         ),
         carry,
     )
+    # The freshly-created carry arrays carry XLA's default (tiled) layouts;
+    # donated args must match the pinned layout exactly, so re-lay them out
+    # once up front.
+    carry = jax.device_put(carry, carry_fmt)
     step = jax.jit(
         step_fn,
         static_argnums=3,

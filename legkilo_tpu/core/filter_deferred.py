@@ -175,23 +175,15 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
 
     # ---- probe (XLA: index arithmetic + ONE wide gather) ----
     # Random-row gathers are latency-bound per index on this target
-    # (docs/PERF_NOTES.md), so key/occ/is_plane are fused into one row per
-    # slot and fetched by a single gather; is_plane rides along and the
-    # separate meta gather disappears.
+    # (docs/PERF_NOTES.md); the map's persistent ptab rows carry
+    # key/occ/is_plane together so ONE gather fetches everything the probe
+    # needs — no per-scan probe-table rebuild (the old concat + meta column
+    # extract cost ~0.3 ms/scan in layout-conversion copies).
     offs = jnp.arange(mcfg.probe, dtype=jnp.int32)
     h0 = idx0_t & (C - 1)
     base = idx0_t - h0
     idx = base[:, :, None] + ((h0[:, :, None] + offs[None, None, :]) & (C - 1))
-    ktab = jnp.concatenate(
-        [
-            carry.vm.key.reshape(miss, 3),
-            carry.vm.occ.reshape(miss, 1).astype(jnp.int32),
-            (carry.vm.meta.reshape(miss, -1)[:, 4] > 0.5).astype(jnp.int32)[
-                :, None
-            ],
-        ],
-        axis=-1,
-    )                                                      # [miss, 5]
+    ktab = carry.vm.ptab.reshape(miss, 5)
     k_at = ktab[idx]                                       # [2L, cap, probe, 5]
     keys_cmp = keys_t.reshape(2 * L, 3, cap).transpose(0, 2, 1)
     match = (k_at[..., 3] > 0) & jnp.all(

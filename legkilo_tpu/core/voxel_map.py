@@ -26,10 +26,18 @@ adapted from FAST-LIVO2), re-designed for XLA:
 * Batched parallel insertion uses scatter-claim rounds: each new key claims
   the first empty probe slot, losers re-probe.  Padded points carry an
   out-of-range slot index and are dropped by XLA scatter ``mode="drop"``.
-* Per-slot state is packed into three dense row blocks so every hot
+* Per-slot state is packed into four dense row blocks so every hot
   operation is a handful of wide gathers/scatters instead of one per field:
 
-      meta  [L, C, 5]    n, new_n, frozen, initialized, is_plane
+      ptab  [L, C, 5]    int32: key(3), occupied, is_plane — everything the
+                         hash probe needs in ONE gathered row (is_plane is
+                         mirrored from meta so the match phase never touches
+                         the float tables; a per-scan rebuild of this row
+                         block cost ~0.3 ms/scan in column-extract copies)
+      meta  [L, C, 4]    n, new_n, initialized, is_plane (frozen is derived:
+                         n >= max_points_num — storing it cost a second
+                         whole-batch scatter per insert just to mirror a
+                         monotone function of n)
       mom   [L, C, 129]  m1(3) m2(9) s0(9) s1(27) s2(81)
       plane [L, C, 46]   center_rel(3) normal(3) evals(3) radius(1)
                          plane_var(36)
@@ -52,11 +60,14 @@ _HASH_P1 = jnp.uint32(73856093)
 _HASH_P2 = jnp.uint32(471943)
 _HASH_P3 = jnp.uint32(83492791)
 
-# meta row layout
-_M_N, _M_NEW, _M_FROZEN, _M_INIT, _M_PLANE = 0, 1, 2, 3, 4
-META_DIM = 5
+# meta row layout (frozen is derived: n >= max_points_num)
+_M_N, _M_NEW, _M_INIT, _M_PLANE = 0, 1, 2, 3
+META_DIM = 4
 MOM_DIM = 129
 PLANE_DIM = 46
+# ptab row layout: key x/y/z, occupied flag, is_plane flag (all int32)
+_T_OCC, _T_PLANE = 3, 4
+PTAB_DIM = 5
 
 
 class MapConfig(NamedTuple):
@@ -99,21 +110,28 @@ def map_config_from(cfg, use_pallas_refit: bool = False) -> MapConfig:
 class VoxelMap(NamedTuple):
     """All map state, [levels, capacity, ...] device arrays."""
 
-    key: jnp.ndarray    # [L, C, 3] int32
-    occ: jnp.ndarray    # [L, C] bool
+    ptab: jnp.ndarray   # [L, C, PTAB_DIM] int32 probe rows (key, occ, is_plane)
     meta: jnp.ndarray   # [L, C, META_DIM]
     mom: jnp.ndarray    # [L, C, MOM_DIM]
     plane: jnp.ndarray  # [L, C, PLANE_DIM]
 
     # Unpacked views (read-only convenience for tests/tools).
+    @property
+    def key(self):
+        return self.ptab[..., 0:3]
+
+    @property
+    def occ(self):
+        return self.ptab[..., _T_OCC] > 0
     def n(self):
         return self.meta[..., _M_N]
 
     def new_n(self):
         return self.meta[..., _M_NEW]
 
-    def frozen(self):
-        return self.meta[..., _M_FROZEN] > 0.5
+    def frozen(self, max_points_num: float):
+        """Derived freeze flag (update_enable_, voxel_map.cc:199-204)."""
+        return self.meta[..., _M_N] >= float(max_points_num)
 
     def initialized(self):
         return self.meta[..., _M_INIT] > 0.5
@@ -184,8 +202,7 @@ def _unpack_moments(rows: jnp.ndarray, n: jnp.ndarray) -> PlaneMoments:
 def make_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelMap:
     L, C = cfg.levels, cfg.capacity
     return VoxelMap(
-        key=jnp.zeros((L, C, 3), dtype=jnp.int32),
-        occ=jnp.zeros((L, C), dtype=bool),
+        ptab=jnp.zeros((L, C, PTAB_DIM), dtype=jnp.int32),
         meta=jnp.zeros((L, C, META_DIM), dtype=dtype),
         mom=jnp.zeros((L, C, MOM_DIM), dtype=dtype),
         plane=jnp.zeros((L, C, PLANE_DIM), dtype=dtype),
@@ -209,44 +226,61 @@ def _hash(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
+def _claim_rows(keys: jnp.ndarray) -> jnp.ndarray:
+    """[M, PTAB_DIM] rows a new key writes when claiming an empty slot:
+    key, occupied=1, is_plane=0."""
+    m = keys.shape[0]
+    return jnp.concatenate(
+        [
+            keys,
+            jnp.ones((m, 1), dtype=jnp.int32),
+            jnp.zeros((m, 1), dtype=jnp.int32),
+        ],
+        axis=-1,
+    )
+
+
 def _probe_find(
-    key_arr: jnp.ndarray,   # [C, 3]
-    occ: jnp.ndarray,       # [C]
+    ptab: jnp.ndarray,      # [C, PTAB_DIM] int32
     keys: jnp.ndarray,      # [N, 3]
     cfg: MapConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Vectorized linear-probe lookup: one wide gather over all probe
-    offsets.  Returns (slot, found, empty_slot, has_empty); missing entries
-    are ``capacity`` (out of range -> scatter-dropped / gather-filled)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vectorized linear-probe lookup: ONE wide row gather over all probe
+    offsets (key/occ/is_plane ride in the same row).  Returns
+    (slot, found, empty_slot, has_empty, is_plane); missing entries are
+    ``capacity`` (out of range -> scatter-dropped / gather-filled)."""
     C = cfg.capacity
     h0 = _hash(keys, C)
     offs = jnp.arange(cfg.probe, dtype=jnp.int32)
     idx = (h0[:, None] + offs[None, :]) & (C - 1)      # [N, probe]
-    k_at = key_arr[idx]                                 # [N, probe, 3]
-    occ_at = occ[idx]                                   # [N, probe]
-    match = occ_at & jnp.all(k_at == keys[:, None, :], axis=-1)
+    rows = ptab[idx]                                    # [N, probe, PTAB_DIM]
+    occ_at = rows[..., _T_OCC] > 0
+    match = occ_at & jnp.all(rows[..., 0:3] == keys[:, None, :], axis=-1)
     found = jnp.any(match, axis=-1)
     first_match = jnp.argmax(match, axis=-1)            # first True
     slot = jnp.where(
         found, jnp.take_along_axis(idx, first_match[:, None], axis=-1)[:, 0], C
     )
+    isp = (
+        jnp.take_along_axis(rows[..., _T_PLANE], first_match[:, None], axis=-1)[:, 0]
+        > 0
+    ) & found
     is_empty = ~occ_at
     has_empty = jnp.any(is_empty, axis=-1)
     first_empty = jnp.argmax(is_empty, axis=-1)
     empty = jnp.where(
         has_empty, jnp.take_along_axis(idx, first_empty[:, None], axis=-1)[:, 0], C
     )
-    return slot, found, empty, has_empty
+    return slot, found, empty, has_empty, isp
 
 
 def _probe_find_flat(
-    key_flat: jnp.ndarray,  # [L*C, 3]
-    occ_flat: jnp.ndarray,  # [L*C]
-    keys: jnp.ndarray,      # [M, 3]
-    lvl: jnp.ndarray,       # [M] level index per key
+    ptab_flat: jnp.ndarray,  # [L*C, PTAB_DIM] int32
+    keys: jnp.ndarray,       # [M, 3]
+    lvl: jnp.ndarray,        # [M] level index per key
     cfg: MapConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Probe all levels' subtables in one flattened gather series.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Probe all levels' subtables in one flattened row-gather series.
 
     Global slot index = level * capacity + local slot; misses return
     ``levels * capacity`` (one past the flattened table, for drop/fill)."""
@@ -256,87 +290,90 @@ def _probe_find_flat(
     h0 = _hash(keys, C)
     offs = jnp.arange(cfg.probe, dtype=jnp.int32)
     idx = base[:, None] + ((h0[:, None] + offs[None, :]) & (C - 1))  # [M, probe]
-    k_at = key_flat[idx]
-    occ_at = occ_flat[idx]
-    match = occ_at & jnp.all(k_at == keys[:, None, :], axis=-1)
+    rows = ptab_flat[idx]                               # [M, probe, PTAB_DIM]
+    occ_at = rows[..., _T_OCC] > 0
+    match = occ_at & jnp.all(rows[..., 0:3] == keys[:, None, :], axis=-1)
     found = jnp.any(match, axis=-1)
     first_match = jnp.argmax(match, axis=-1)
     slot = jnp.where(
         found, jnp.take_along_axis(idx, first_match[:, None], axis=-1)[:, 0], miss
     )
+    isp = (
+        jnp.take_along_axis(rows[..., _T_PLANE], first_match[:, None], axis=-1)[:, 0]
+        > 0
+    ) & found
     is_empty = ~occ_at
     has_empty = jnp.any(is_empty, axis=-1)
     first_empty = jnp.argmax(is_empty, axis=-1)
     empty = jnp.where(
         has_empty, jnp.take_along_axis(idx, first_empty[:, None], axis=-1)[:, 0], miss
     )
-    return slot, found, empty, has_empty
+    return slot, found, empty, has_empty, isp
 
 
 def _find_or_insert_flat(
-    key_flat: jnp.ndarray,
-    occ_flat: jnp.ndarray,
+    ptab_flat: jnp.ndarray,
     keys: jnp.ndarray,
     lvl: jnp.ndarray,
     active: jnp.ndarray,
     cfg: MapConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Flattened-table version of _find_or_insert (same claim-round logic)."""
     miss = cfg.levels * cfg.capacity
     slot = jnp.full((keys.shape[0],), miss, dtype=jnp.int32)
     resolved = jnp.zeros((keys.shape[0],), dtype=bool)
+    claim = _claim_rows(keys)
     for _ in range(cfg.insert_rounds):
-        s, found, empty, has_empty = _probe_find_flat(key_flat, occ_flat, keys, lvl, cfg)
+        s, found, empty, has_empty, _ = _probe_find_flat(ptab_flat, keys, lvl, cfg)
         newly = active & ~resolved & found
         slot = jnp.where(newly, s, slot)
         resolved = resolved | newly
         want = active & ~resolved & has_empty
         claim_idx = jnp.where(want, empty, miss)
-        key_flat = key_flat.at[claim_idx].set(keys, mode="drop")
-        occ_flat = occ_flat.at[claim_idx].set(True, mode="drop")
-    s, found, _, _ = _probe_find_flat(key_flat, occ_flat, keys, lvl, cfg)
+        ptab_flat = ptab_flat.at[claim_idx].set(claim, mode="drop")
+    s, found, _, _, _ = _probe_find_flat(ptab_flat, keys, lvl, cfg)
     newly = active & ~resolved & found
     slot = jnp.where(newly, s, slot)
     resolved = resolved | newly
-    return key_flat, occ_flat, slot, resolved & active
+    return ptab_flat, slot, resolved & active
 
 
 def _find_or_insert(
-    key_arr: jnp.ndarray,
-    occ: jnp.ndarray,
+    ptab: jnp.ndarray,
     keys: jnp.ndarray,
     active: jnp.ndarray,
     cfg: MapConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Find each key's slot, claiming empty slots for new keys.
 
-    Scatter-claim rounds: every unresolved active key writes itself into its
-    first empty probe slot; a re-probe then confirms which writer won.  Losers
-    retry (the slot is now occupied so probing walks past it).  Unresolved
-    keys after ``insert_rounds`` are dropped (resolved=False) — the bounded
-    analog of the reference's unbounded heap growth.
+    Scatter-claim rounds: every unresolved active key writes its probe row
+    (key, occ=1, is_plane=0) into its first empty probe slot; a re-probe then
+    confirms which writer won.  Losers retry (the slot is now occupied so
+    probing walks past it).  Unresolved keys after ``insert_rounds`` are
+    dropped (resolved=False) — the bounded analog of the reference's
+    unbounded heap growth.
 
-    Returns (key_arr, occ, slot, resolved).
+    Returns (ptab, slot, resolved).
     """
     C = cfg.capacity
     slot = jnp.full((keys.shape[0],), C, dtype=jnp.int32)
     resolved = jnp.zeros((keys.shape[0],), dtype=bool)
+    claim = _claim_rows(keys)
     for _ in range(cfg.insert_rounds):
-        s, found, empty, has_empty = _probe_find(key_arr, occ, keys, cfg)
+        s, found, empty, has_empty, _ = _probe_find(ptab, keys, cfg)
         newly = active & ~resolved & found
         slot = jnp.where(newly, s, slot)
         resolved = resolved | newly
         # Claim empties for still-unresolved keys.
         want = active & ~resolved & has_empty
         claim_idx = jnp.where(want, empty, C)
-        key_arr = key_arr.at[claim_idx].set(keys, mode="drop")
-        occ = occ.at[claim_idx].set(True, mode="drop")
+        ptab = ptab.at[claim_idx].set(claim, mode="drop")
     # Final probe after the last claim round.
-    s, found, _, _ = _probe_find(key_arr, occ, keys, cfg)
+    s, found, _, _, _ = _probe_find(ptab, keys, cfg)
     newly = active & ~resolved & found
     slot = jnp.where(newly, s, slot)
     resolved = resolved | newly
-    return key_arr, occ, slot, resolved & active
+    return ptab, slot, resolved & active
 
 
 def compact_order(mask_f: jnp.ndarray, cap: int) -> jnp.ndarray:
@@ -379,14 +416,12 @@ def insert_points(
     lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
     mask_f = jnp.tile(mask, L)
 
-    key_flat = vm.key.reshape(miss, 3)
-    occ_flat = vm.occ.reshape(miss)
-
-    key_flat, occ_flat, slot, ok = _find_or_insert_flat(
-        key_flat, occ_flat, keys, lvl_ids, mask_f, cfg
+    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
+    ptab_flat, slot, ok = _find_or_insert_flat(
+        ptab_flat, keys, lvl_ids, mask_f, cfg
     )
     return _insert_finish(
-        vm, cfg, key_flat, occ_flat, p_w, var, keys, lvl_ids, slot, ok
+        vm, cfg, ptab_flat, p_w, var, keys, lvl_ids, slot, ok
     )
 
 
@@ -429,37 +464,33 @@ def insert_points_hinted(
     need = mask_f & ~found0
     n_new = jnp.sum(need.astype(jnp.int32))
 
-    key_flat = vm.key.reshape(miss, 3)
-    occ_flat = vm.occ.reshape(miss)
+    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
     cap = cfg.insert_new_cap
 
-    def fast(kf, of):
+    def fast(pt):
         order = compact_order(need, cap)                   # [cap]
         k_c = keys.at[order].get(mode="fill", fill_value=0)
         lvl_c = lvl_ids.at[order].get(mode="fill", fill_value=0)
         act_c = need.at[order].get(mode="fill", fill_value=False)
-        kf, of, slot_c, ok_c = _find_or_insert_flat(kf, of, k_c, lvl_c, act_c, cfg)
+        pt, slot_c, ok_c = _find_or_insert_flat(pt, k_c, lvl_c, act_c, cfg)
         slot = slot0.at[order].set(
             jnp.where(ok_c, slot_c, miss), mode="drop"
         )
-        return kf, of, slot, slot < miss
+        return pt, slot, slot < miss
 
-    def slow(kf, of):
-        return _find_or_insert_flat(kf, of, keys, lvl_ids, mask_f, cfg)
+    def slow(pt):
+        return _find_or_insert_flat(pt, keys, lvl_ids, mask_f, cfg)
 
-    key_flat, occ_flat, slot, ok = jax.lax.cond(
-        n_new <= cap, fast, slow, key_flat, occ_flat
-    )
+    ptab_flat, slot, ok = jax.lax.cond(n_new <= cap, fast, slow, ptab_flat)
     return _insert_finish(
-        vm, cfg, key_flat, occ_flat, p_w, var, keys, lvl_ids, slot, ok
+        vm, cfg, ptab_flat, p_w, var, keys, lvl_ids, slot, ok
     )
 
 
 def _insert_finish(
     vm: VoxelMap,
     cfg: MapConfig,
-    key_flat: jnp.ndarray,
-    occ_flat: jnp.ndarray,
+    ptab_flat: jnp.ndarray,
     p_w: jnp.ndarray,
     var: jnp.ndarray,
     keys: jnp.ndarray,     # [L*N, 3] voxel keys (defines centers for moments)
@@ -481,10 +512,10 @@ def _insert_finish(
     meta_flat = vm.meta.reshape(miss, META_DIM)
     mom_flat = vm.mom.reshape(miss, MOM_DIM)
     plane_flat = vm.plane.reshape(miss, PLANE_DIM)
-    # Contribution gating: frozen slots stop accumulating
-    # (update_enable_, voxel_map.cc:199-204).
+    # Contribution gating: frozen slots (n >= max_points_num) stop
+    # accumulating (update_enable_, voxel_map.cc:199-204).
     meta_at = meta_flat.at[slot].get(mode="fill", fill_value=0.0)
-    contrib = ok & (meta_at[:, _M_FROZEN] < 0.5)
+    contrib = ok & (meta_at[:, _M_N] < float(cfg.max_points_num))
     tgt = jnp.where(contrib, slot, miss)
 
     p_rel = jnp.tile(p_w, (L, 1)) - vc
@@ -506,21 +537,9 @@ def _insert_finish(
         & (~init_t | (meta_t[:, _M_NEW] > float(cfg.update_size_threshold)))
     )
 
-    # Per-point meta writeback: freeze at max_points_num (voxel_map.cc:199-203).
-    new_meta = jnp.stack(
-        [
-            n_t,
-            meta_t[:, _M_NEW],
-            jnp.maximum(
-                meta_t[:, _M_FROZEN],
-                (n_t >= float(cfg.max_points_num)).astype(dtype),
-            ),
-            meta_t[:, _M_INIT],
-            meta_t[:, _M_PLANE],
-        ],
-        axis=-1,
-    )
-    meta_flat = meta_flat.at[tgt].set(new_meta, mode="drop")
+    # No freeze writeback needed: the flag is derived from n (above), so the
+    # reference's per-insert update_enable_ store (voxel_map.cc:199-203) has
+    # no stored analog here.
 
     # Compact refit candidates to <= refit_budget unique slots: one sort to
     # group duplicates, then a short prefix-sum + scatter to pack the unique
@@ -553,7 +572,7 @@ def _insert_finish(
             interpret=jax.default_backend() == "cpu",
         )
         plane_rows = out[0:46].T
-        meta_fit = out[46:51].T
+        meta_fit = out[46 : 46 + META_DIM].T
     else:
         n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
         fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
@@ -571,7 +590,6 @@ def _insert_finish(
             [
                 meta_r[:, _M_N],
                 jnp.zeros_like(meta_r[:, _M_N]),      # new_n reset
-                meta_r[:, _M_FROZEN],
                 jnp.ones_like(meta_r[:, _M_N]),       # initialized
                 fit.is_plane.astype(dtype),
             ],
@@ -579,10 +597,13 @@ def _insert_finish(
         )
     plane_flat = plane_flat.at[fs].set(plane_rows, mode="drop")
     meta_flat = meta_flat.at[fs].set(meta_fit, mode="drop")
+    # Mirror is_plane into the probe rows (match-phase source of truth).
+    ptab_flat = ptab_flat.at[fs, _T_PLANE].set(
+        (meta_fit[:, _M_PLANE] > 0.5).astype(jnp.int32), mode="drop"
+    )
 
     return vm._replace(
-        key=key_flat.reshape(L, C, 3),
-        occ=occ_flat.reshape(L, C),
+        ptab=ptab_flat.reshape(L, C, PTAB_DIM),
         meta=meta_flat.reshape(L, C, META_DIM),
         mom=mom_flat.reshape(L, C, MOM_DIM),
         plane=plane_flat.reshape(L, C, PLANE_DIM),
@@ -627,15 +648,12 @@ def match_points(
     keys_f = jnp.concatenate(keys_all, axis=0)           # [2L*N, 3]
     lvl_f = jnp.concatenate(lvl_all, axis=0)
 
-    key_flat = vm.key.reshape(miss, 3)
-    occ_flat = vm.occ.reshape(miss)
-    slot, found, _, _ = _probe_find_flat(key_flat, occ_flat, keys_f, lvl_f, cfg)
+    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
+    slot, found, _, _, is_plane = _probe_find_flat(ptab_flat, keys_f, lvl_f, cfg)
 
-    meta_at = vm.meta.reshape(miss, META_DIM).at[slot].get(mode="fill", fill_value=0.0)
     plane_at = vm.plane.reshape(miss, PLANE_DIM).at[slot].get(
         mode="fill", fill_value=0.0
     )
-    is_plane = (meta_at[:, _M_PLANE] > 0.5) & found
 
     sizes = jnp.asarray(
         [level_size(cfg, l) for l in range(cfg.levels)], dtype=dtype
@@ -721,7 +739,7 @@ def slide_map(vm: VoxelMap, cfg: MapConfig, position: jnp.ndarray, half_map_size
         keep = keep.at[lvl].set(vm.occ[lvl] & inside)
     kf = keep.astype(vm.mom.dtype)[..., None]
     return vm._replace(
-        occ=keep,
+        ptab=vm.ptab * keep.astype(jnp.int32)[..., None],
         meta=vm.meta * kf,
         mom=vm.mom * kf,
         plane=vm.plane * kf,

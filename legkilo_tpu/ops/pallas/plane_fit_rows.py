@@ -19,11 +19,11 @@ identical math (equivalence: tests/test_plane_fit_pallas.py).
 Row contracts (B = refit budget, a multiple of 128):
 
     mom_t  [129, B]  packed moments (voxel_map._pack_moments layout)
-    meta_t [5,   B]  meta rows (n, new_n, frozen, initialized, is_plane)
+    meta_t [4,   B]  meta rows (n, new_n, initialized, is_plane)
     par    [1,   8]  planer_threshold at [0, 0]
-    out    [51,  B]  plane row (46: center_rel, normal, evals, radius,
-                     plane_var) then meta_fit row (5: n, 0, frozen, 1,
-                     is_plane) — the exact rows _insert_finish scatters.
+    out    [50,  B]  plane row (46: center_rel, normal, evals, radius,
+                     plane_var) then meta_fit row (4: n, 0, 1, is_plane) —
+                     the exact rows _insert_finish scatters.
 """
 
 from __future__ import annotations
@@ -265,7 +265,6 @@ def _fit_kernel(par_ref, mom_ref, meta_ref, out_ref):
     meta_fit = [
         meta_ref[0:1, :],
         jnp.zeros_like(n),
-        meta_ref[2:3, :],
         jnp.ones_like(n),
         is_plane_f,
     ]
@@ -291,9 +290,9 @@ def fit_rows_call(par, mom_t, meta_t, interpret=False, block=512):
 
     return pl.pallas_call(
         _fit_kernel,
-        out_shape=jax.ShapeDtypeStruct((51, b), f32),
+        out_shape=jax.ShapeDtypeStruct((50, b), f32),
         grid=grid,
-        in_specs=[full_row(8), col(129), col(5)],
-        out_specs=col(51),
+        in_specs=[full_row(8), col(129), col(4)],
+        out_specs=col(50),
         interpret=interpret,
     )(par, mom_t, meta_t)

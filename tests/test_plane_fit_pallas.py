@@ -40,15 +40,15 @@ def test_fit_rows_matches_fit_planes(rng):
         pts, vars_ = make_voxel_points(rng, n=n)
         m = _summed_moments(pts, vars_, vc=np.zeros(3))
         moments.append(m._replace(n=None))
-        metas.append([n, 3.0, float(i % 2), 1.0, 0.0])
+        metas.append([n, 3.0, 1.0, 0.0])
     # degenerates: collinear points, identical points, near-empty slot
     line = np.outer(np.linspace(-0.2, 0.2, 12), np.array([1.0, 0.5, -0.2]))
     vl = np.tile(1e-6 * np.eye(3), (12, 1, 1))
     moments.append(_summed_moments(line, vl, np.zeros(3))._replace(n=None))
-    metas.append([12.0, 0.0, 0.0, 1.0, 0.0])
+    metas.append([12.0, 0.0, 1.0, 0.0])
     same = np.tile(np.array([0.1, -0.2, 0.05]), (6, 1))
     moments.append(_summed_moments(same, vl[:6], np.zeros(3))._replace(n=None))
-    metas.append([6.0, 0.0, 0.0, 0.0, 0.0])
+    metas.append([6.0, 0.0, 0.0, 0.0])
 
     k = len(moments)
     mom_rows, meta_rows = _pack_rows(moments, metas)
@@ -80,10 +80,10 @@ def test_fit_rows_matches_fit_planes(rng):
         np.testing.assert_allclose(
             out[i, 9], np.asarray(fit.radius)[i], atol=1e-5,
             err_msg=f"radius row {i}")
-        # meta_fit: n, 0, frozen, 1, is_plane
+        # meta_fit: n, 0, 1, is_plane
         np.testing.assert_allclose(
-            out[i, 46:51],
-            [metas[i][0], 0.0, metas[i][2], 1.0,
+            out[i, 46:50],
+            [metas[i][0], 0.0, 1.0,
              float(np.asarray(fit.is_plane)[i])],
             atol=1e-6, err_msg=f"meta row {i}")
         if i < n_wellcond:

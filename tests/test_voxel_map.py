@@ -37,13 +37,13 @@ def test_hash_insert_lookup_roundtrip(rng):
     vm = vmap.make_map(cfg)
     pts = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
     keys = np.floor(pts / cfg.voxel_size).astype(np.int32)
-    key_arr, occ, slot, ok = vmap._find_or_insert(
-        vm.key[0], vm.occ[0], jnp.asarray(keys), jnp.ones(200, dtype=bool), cfg
+    ptab, slot, ok = vmap._find_or_insert(
+        vm.ptab[0], jnp.asarray(keys), jnp.ones(200, dtype=bool), cfg
     )
     ok = np.asarray(ok)
     assert ok.all(), f"dropped {200 - ok.sum()} inserts"
     # Same keys must find the same slots.
-    slot2, found, _, _ = vmap._probe_find(key_arr, occ, jnp.asarray(keys), cfg)
+    slot2, found, _, _, _ = vmap._probe_find(ptab, jnp.asarray(keys), cfg)
     assert np.asarray(found).all()
     np.testing.assert_array_equal(np.asarray(slot2), np.asarray(slot))
     # Duplicate keys share one slot.
@@ -83,8 +83,8 @@ def test_plane_formation_matches_oracle(rng):
     assert occ.sum() >= 1
     keys = np.floor(pts / cfg.voxel_size).astype(np.int32)
     assert (keys == keys[0]).all()
-    slot, found, _, _ = vmap._probe_find(
-        vm2.key[0], vm2.occ[0], jnp.asarray(keys[:1]), cfg
+    slot, found, _, _, _ = vmap._probe_find(
+        vm2.ptab[0], jnp.asarray(keys[:1]), cfg
     )
     s = int(np.asarray(slot)[0])
     assert bool(np.asarray(found)[0])
@@ -207,7 +207,7 @@ def test_freeze_stops_accumulation(rng):
         jnp.asarray(var, dtype=jnp.float32), jnp.ones(60, dtype=bool),
     )
     n_before = np.asarray(vm.n()[0]).sum()
-    frozen = np.asarray(vm.frozen()[0])
+    frozen = np.asarray(vm.frozen(cfg.max_points_num)[0])
     assert frozen.any()
     # Insert more points into the same voxel: count must not grow there.
     vm2 = vmap.insert_points(

@@ -89,8 +89,20 @@ def main() -> None:
             packets.append(builder.pop())
     dev_packets = [to_device_packet(p) for p in packets]
 
-    step = jax.jit(fd.process_scan_deferred, static_argnums=3)
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
     carry = init_carry(scfg)
+    carry_fmt = jax.tree.map(
+        lambda x: Format(Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)),
+        carry,
+    )
+    carry = jax.device_put(carry, carry_fmt)
+    step = jax.jit(
+        fd.process_scan_deferred, static_argnums=3, donate_argnums=0,
+        in_shardings=(carry_fmt, None, None), out_shardings=(carry_fmt, None),
+    )
     for p in dev_packets[:10]:
         carry, out = step(carry, p, params, scfg)
     jax.block_until_ready(out.pos)
@@ -173,10 +185,13 @@ def main() -> None:
                 carry = carry._replace(vm=vm)
             return carry, (carry.state.pos + jnp.sum(nmatch) * 0.0)
 
-        return jax.jit(stepfn, donate_argnums=0)
+        return jax.jit(
+            stepfn, donate_argnums=0,
+            in_shardings=(carry_fmt, None), out_shardings=(carry_fmt, None),
+        )
 
     def timeit(label, fn):
-        c = jax.tree.map(jnp.copy, carry)
+        c = jax.device_put(jax.tree.map(jnp.copy, carry), carry_fmt)
         c, o = fn(c, pkt)
         jax.block_until_ready(o)
         t0 = time.perf_counter()

@@ -103,28 +103,25 @@ def main() -> None:
         slot0 = jnp.where(found0, own_slot.reshape(L * N), miss)
         need = mask_f & ~found0
         n_new = jnp.sum(need.astype(jnp.int32))
-        key_flat = vm.key.reshape(miss, 3)
-        occ_flat = vm.occ.reshape(miss)
+        ptab_flat = vm.ptab.reshape(miss, vmx.PTAB_DIM)
         cap = mcfg.insert_new_cap
 
-        def fast(kf, of):
+        def fast(pt):
             order = vmx.compact_order(need, cap)
             k_c = keys.at[order].get(mode="fill", fill_value=0)
             lvl_c = lvl_ids.at[order].get(mode="fill", fill_value=0)
             act_c = need.at[order].get(mode="fill", fill_value=False)
-            kf, of, slot_c, ok_c = vmx._find_or_insert_flat(
-                kf, of, k_c, lvl_c, act_c, mcfg
+            pt, slot_c, ok_c = vmx._find_or_insert_flat(
+                pt, k_c, lvl_c, act_c, mcfg
             )
             slot = slot0.at[order].set(jnp.where(ok_c, slot_c, miss), mode="drop")
-            return kf, of, slot, slot < miss
+            return pt, slot, slot < miss
 
-        def slow(kf, of):
-            return vmx._find_or_insert_flat(kf, of, keys, lvl_ids, mask_f, mcfg)
+        def slow(pt):
+            return vmx._find_or_insert_flat(pt, keys, lvl_ids, mask_f, mcfg)
 
-        key_flat, occ_flat, slot, ok = jax.lax.cond(
-            n_new <= cap, fast, slow, key_flat, occ_flat
-        )
-        vm = vm._replace(key=key_flat.reshape(L, C, 3), occ=occ_flat.reshape(L, C))
+        ptab_flat, slot, ok = jax.lax.cond(n_new <= cap, fast, slow, ptab_flat)
+        vm = vm._replace(ptab=ptab_flat.reshape(L, C, vmx.PTAB_DIM))
         if stage == "resolve":
             # keep slot live
             m0 = vm.meta.reshape(miss, -1).at[0, 0].add(
@@ -141,7 +138,7 @@ def main() -> None:
         mom_flat = vm.mom.reshape(miss, vmx.MOM_DIM)
         plane_flat = vm.plane.reshape(miss, vmx.PLANE_DIM)
         meta_at = meta_flat.at[slot].get(mode="fill", fill_value=0.0)
-        contrib = ok & (meta_at[:, vmx._M_FROZEN] < 0.5)
+        contrib = ok & (meta_at[:, vmx._M_N] < float(mcfg.max_points_num))
         tgt = jnp.where(contrib, slot, miss)
         p_rel = jnp.tile(p_w, (L, 1)) - vc
         if stage == "gathers":
@@ -209,20 +206,6 @@ def main() -> None:
             & (n_t > init_thresh)
             & (~init_t | (meta_t[:, vmx._M_NEW] > float(mcfg.update_size_threshold)))
         )
-        new_meta = jnp.stack(
-            [
-                n_t,
-                meta_t[:, vmx._M_NEW],
-                jnp.maximum(
-                    meta_t[:, vmx._M_FROZEN],
-                    (n_t >= float(mcfg.max_points_num)).astype(dtype),
-                ),
-                meta_t[:, vmx._M_INIT],
-                meta_t[:, vmx._M_PLANE],
-            ],
-            axis=-1,
-        )
-        meta_flat = meta_flat.at[tgt].set(new_meta, mode="drop")
         if stage == "thresholds":
             return vm._replace(
                 meta=meta_flat.reshape(L, C, vmx.META_DIM),
@@ -264,7 +247,6 @@ def main() -> None:
             [
                 meta_r[:, vmx._M_N],
                 jnp.zeros_like(n_r),
-                meta_r[:, vmx._M_FROZEN],
                 jnp.ones_like(n_r),
                 fit.is_plane.astype(dtype),
             ],

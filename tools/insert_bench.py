@@ -67,31 +67,28 @@ def main() -> None:
 
     keys, vc, lvl_ids = jax.jit(build_keys)(p_w)
     mask_f = jnp.tile(mask, L)
-    key_flat = vm.key.reshape(miss, 3)
-    occ_flat = vm.occ.reshape(miss)
+    ptab_flat = vm.ptab.reshape(miss, vmx.PTAB_DIM)
     meta_flat = vm.meta.reshape(miss, vmx.META_DIM)
     mom_flat = vm.mom.reshape(miss, vmx.MOM_DIM)
 
-    def probe_only(key_flat, occ_flat, keys, lvl_ids):
-        return _probe_find_flat(key_flat, occ_flat, keys, lvl_ids, mc)
+    def probe_only(ptab_flat, keys, lvl_ids):
+        return _probe_find_flat(ptab_flat, keys, lvl_ids, mc)
 
-    def find_or_insert(key_flat, occ_flat, keys, lvl_ids, mask_f):
-        return _find_or_insert_flat(key_flat, occ_flat, keys, lvl_ids, mask_f, mc)
+    def find_or_insert(ptab_flat, keys, lvl_ids, mask_f):
+        return _find_or_insert_flat(ptab_flat, keys, lvl_ids, mask_f, mc)
 
     def moments(p_w, vc, var):
         p_rel = jnp.tile(p_w, (L, 1)) - vc
         return _pack_moments(point_moments(p_rel, jnp.tile(var, (L, 1, 1))))
 
-    kf2, of2, slot, ok = jax.jit(find_or_insert)(
-        key_flat, occ_flat, keys, lvl_ids, mask_f
-    )
+    pt2, slot, ok = jax.jit(find_or_insert)(ptab_flat, keys, lvl_ids, mask_f)
     jax.block_until_ready(slot)
     mom_rows = jax.jit(moments)(p_w, vc, var)
     jax.block_until_ready(mom_rows)
 
     def accumulate(meta_flat, mom_flat, slot, ok, mom_rows):
         meta_at = meta_flat.at[slot].get(mode="fill", fill_value=0.0)
-        contrib = ok & (meta_at[:, vmx._M_FROZEN] < 0.5)
+        contrib = ok & (meta_at[:, vmx._M_N] < float(mc.max_points_num))
         tgt = jnp.where(contrib, slot, miss)
         counts = jnp.zeros((L * N, vmx.META_DIM), dtype=dtype)
         counts = counts.at[:, vmx._M_N].set(1.0).at[:, vmx._M_NEW].set(1.0)
@@ -162,8 +159,8 @@ def main() -> None:
         print(f"{label:24s} {dt:7.2f} ms")
 
     timeit("build_keys", jax.jit(build_keys), p_w)
-    timeit("probe_only", jax.jit(probe_only), key_flat, occ_flat, keys, lvl_ids)
-    timeit("find_or_insert", jax.jit(find_or_insert), key_flat, occ_flat, keys, lvl_ids, mask_f)
+    timeit("probe_only", jax.jit(probe_only), ptab_flat, keys, lvl_ids)
+    timeit("find_or_insert", jax.jit(find_or_insert), ptab_flat, keys, lvl_ids, mask_f)
     timeit("moments", jax.jit(moments), p_w, vc, var)
     timeit("accumulate", jax.jit(accumulate), meta_flat, mom_flat, slot, ok, mom_rows)
     timeit("thresholds", jax.jit(thresholds), meta2, tgt, contrib)

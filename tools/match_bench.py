@@ -120,12 +120,11 @@ def main() -> None:
         h0 = idx0_t & (C - 1)
         base = idx0_t - h0
         idx = base[:, :, None] + ((h0[:, :, None] + offs[None, None, :]) & (C - 1))
-        key_flat = vm.key.reshape(miss, 3)
-        occ_flat = vm.occ.reshape(miss)
-        k_at = key_flat[idx]
-        occ_at = occ_flat[idx]
+        k_at = vm.ptab.reshape(miss, 5)[idx]
         keys_cmp = keys_t.reshape(2 * L, 3, cap).transpose(0, 2, 1)
-        match = occ_at & jnp.all(k_at == keys_cmp[:, :, None, :], axis=-1)
+        match = (k_at[..., 3] > 0) & jnp.all(
+            k_at[..., 0:3] == keys_cmp[:, :, None, :], axis=-1
+        )
         found = jnp.any(match, axis=-1)
         first = jnp.argmax(match, axis=-1)
         slot = jnp.where(
