@@ -70,6 +70,12 @@ def main() -> None:
     # (+0.56 ms); it only pays on rigs where layouts float (PERF_NOTES.md).
     use_pallas_refit = os.environ.get("LEGKILO_BENCH_PALLAS_REFIT", "0") == "1"
     cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
+    # Ancestor-gated insertion: child levels only accumulate under non-plane
+    # parents (the reference's UpdateOctoTree descent).  In planar steady
+    # state ~all surviving rows are level-0, so 4096 rows cover the ~3.2k
+    # valid points; scatter cost on this rig scales with row count
+    # (docs/PERF_NOTES.md).
+    cfg.voxel_map.insert_row_cap = 4096
     scfg = StaticConfig(
         map_cfg=map_config_from(
             cfg.voxel_map,
@@ -119,16 +125,23 @@ def main() -> None:
 
     carry = init_carry(scfg)
     dev = jax.devices()[0]
-    carry_fmt = jax.tree.map(
+    row_major = jax.tree.map(
         lambda x: Format(
             Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)
         ),
         carry,
     )
-    # The freshly-created carry arrays carry XLA's default (tiled) layouts;
-    # donated args must match the pinned layout exactly, so re-lay them out
-    # once up front.
-    carry = jax.device_put(carry, carry_fmt)
+    # Freshly-created arrays have XLA's default (often transposed) layouts;
+    # relay them out row-major up front.  device_put can silently skip the
+    # relayout when the array is already on the target device, and an
+    # identity jit degenerates to an aliasing no-op when loaded from the
+    # persistent compilation cache — an explicit copy survives both.  The
+    # jit pins stay ABSTRACT (tiling=None): concrete tiled pins are
+    # violated by the executables' outputs on this jax/XLA.
+    carry = jax.jit(
+        lambda t: jax.tree.map(jnp.copy, t), out_shardings=row_major
+    )(carry)
+    carry_fmt = row_major
     step = jax.jit(
         step_fn,
         static_argnums=3,

@@ -69,6 +69,11 @@ class VoxelMapConfig:
     # Compacted claim-path width for probe-reusing insertion (new keys per
     # scan in steady state are few; bursts fall back to the full series).
     insert_new_cap: int = 512
+    # >0: ancestor-gated insert rows compacted to this many (point, level)
+    # pairs — child levels only accumulate while every ancestor exists and
+    # is not a plane, matching the reference's UpdateOctoTree descent
+    # (voxel_map.cc:185-241).  0 keeps ungated all-level insertion.
+    insert_row_cap: int = 0
 
 
 @dataclasses.dataclass
@@ -188,6 +193,7 @@ _VOXEL_KEY_MAP = {
     "tpu_map_probe_length": "probe_length",
     "tpu_map_insert_rounds": "insert_rounds",
     "tpu_map_insert_new_cap": "insert_new_cap",
+    "tpu_map_insert_row_cap": "insert_row_cap",
 }
 _TPU_KEY_MAP = {
     "tpu_max_buckets": "max_buckets",

@@ -112,7 +112,7 @@ def _match_compact_stats(carry, packet, params, scfg, cap):
     )
     aux = (
         order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-        m.own_keys, m.own_slot, m.own_found,
+        m.own_keys, m.own_slot, m.own_found, m.own_plane,
     )
     return s40, nmatch_b, aux
 
@@ -236,10 +236,11 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
     own_keys = keys_t[0 : 3 * L].reshape(L, 3, cap).transpose(0, 2, 1)
     own_slot = slot[0:L]
     own_found = found[0:L]
+    own_plane = isp[0:L]
 
     aux = (
         order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-        own_keys, own_slot, own_found,
+        own_keys, own_slot, own_found, own_plane,
     )
     return s40, nmatch_b, aux
 
@@ -546,7 +547,7 @@ def _process_scan_fused(
     else:
         s40, nmatch_b, aux = _match_compact_stats(carry, packet, params, scfg, cap)
     (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-     own_keys, own_slot, own_found) = aux
+     own_keys, own_slot, own_found, own_plane) = aux
 
     if scfg.use_pallas:
         from ..ops.pallas.chain_stats import run_chain_stats
@@ -576,7 +577,7 @@ def _process_scan_fused(
     if scfg.insert_reuse_probe:
         vm = insert_points_hinted(
             carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c,
-            own_keys, own_slot, own_found,
+            own_keys, own_slot, own_found, own_plane,
         )
     else:
         vm = insert_points(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c)

@@ -86,6 +86,7 @@ class MapConfig(NamedTuple):
     radius_k: float = 3.0    # range gate multiplier (voxel_map.cc:369)
     refit_budget: int = 2048  # max plane refits per insert call (per level)
     insert_new_cap: int = 512  # compacted claim-path width (hinted insert)
+    insert_row_cap: int = 0  # >0: ancestor-gated row compaction (hinted insert)
     use_pallas_refit: bool = False  # one-launch refit kernel (plane_fit_rows)
 
 
@@ -103,6 +104,7 @@ def map_config_from(cfg, use_pallas_refit: bool = False) -> MapConfig:
         init_num=tuple(int(x) for x in cfg.layer_init_num[:levels]),
         insert_rounds=int(getattr(cfg, "insert_rounds", 6)),
         insert_new_cap=int(getattr(cfg, "insert_new_cap", 512)),
+        insert_row_cap=int(getattr(cfg, "insert_row_cap", 0)),
         use_pallas_refit=bool(use_pallas_refit),
     )
 
@@ -170,6 +172,7 @@ class MatchResult(NamedTuple):
     own_keys: jnp.ndarray    # [L, N, 3] own-chain voxel keys
     own_slot: jnp.ndarray    # [L, N] global flat slot (levels*capacity = miss)
     own_found: jnp.ndarray   # [L, N] bool
+    own_plane: jnp.ndarray   # [L, N] bool (slot holds a fitted plane)
 
 
 def _pack_moments(m: PlaneMoments) -> jnp.ndarray:
@@ -421,7 +424,9 @@ def insert_points(
         ptab_flat, keys, lvl_ids, mask_f, cfg
     )
     return _insert_finish(
-        vm, cfg, ptab_flat, p_w, var, keys, lvl_ids, slot, ok
+        vm, cfg, ptab_flat,
+        jnp.tile(p_w, (L, 1)), jnp.tile(var, (L, 1, 1)),
+        keys, lvl_ids, slot, ok,
     )
 
 
@@ -434,17 +439,31 @@ def insert_points_hinted(
     own_keys: jnp.ndarray,   # [L, N, 3] keys probed by the match phase
     own_slot: jnp.ndarray,   # [L, N] global flat slots from the match probe
     own_found: jnp.ndarray,  # [L, N]
+    own_plane: jnp.ndarray = None,  # [L, N] is_plane from the match probe
 ) -> VoxelMap:
     """insert_points reusing the match phase's probe of the same table.
 
     The deferred pipeline probes each point's own-voxel chain during the
     match phase and the table is not mutated until insertion, so those
-    (slot, found) results are still valid — re-probing all L*N keys is the
-    single most expensive part of insertion and is skipped entirely here.
-    Only keys the match probe missed (new voxels) enter a claim path, which
-    is compacted to ``cfg.insert_new_cap`` rows when the new-key count fits
-    (the steady-state case) and falls back to the full claim series under
-    ``lax.cond`` otherwise (map bootstrap / new-area bursts).
+    (slot, found, is_plane) results are still valid — re-probing all L*N
+    keys is the single most expensive part of insertion and is skipped
+    entirely here.  Only keys the match probe missed (new voxels) enter a
+    claim path, which is compacted to ``cfg.insert_new_cap`` rows when the
+    new-key count fits (the steady-state case) and falls back to the full
+    claim series under ``lax.cond`` otherwise (map bootstrap / new-area
+    bursts).
+
+    With ``cfg.insert_row_cap > 0`` (and ``own_plane`` given), child-level
+    rows are **ancestor-gated**: a point inserts at level l only while every
+    ancestor voxel exists and is not itself a plane — the reference's
+    UpdateOctoTree recursion stops at the first plane node exactly like
+    this (voxel_map.cc:185-241), whereas ungated simultaneous insertion
+    (module docstring deviation 3) pays ~L times the scatter rows to keep
+    child statistics that matching can never reach while the parent stays
+    planar.  Surviving rows are compacted to insert_row_cap (level-0 rows
+    compact first, so under overflow only child rows drop; they refit on a
+    later scan).  Scatter cost on this target scales with row count, so in
+    planar steady state this cuts the insert phase's scatter rows ~3x.
 
     Deviation (documented in docs/PARITY.md): voxel assignment uses the
     match phase's keys, i.e. world points at the *predicted* per-bucket
@@ -455,17 +474,60 @@ def insert_points_hinted(
     """
     L, C, N = cfg.levels, cfg.capacity, p_w.shape[0]
     miss = L * C
+    cap = cfg.insert_new_cap
+    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
 
     keys = own_keys.reshape(L * N, 3)
     lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
     mask_f = jnp.tile(mask, L)
-    found0 = own_found.reshape(L * N) & mask_f
-    slot0 = jnp.where(found0, own_slot.reshape(L * N), miss)
-    need = mask_f & ~found0
-    n_new = jnp.sum(need.astype(jnp.int32))
+    found_f = own_found.reshape(L * N) & mask_f
 
-    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
-    cap = cfg.insert_new_cap
+    if cfg.insert_row_cap and own_plane is not None:
+        # Ancestor gate, then compact surviving (point, level) rows.
+        elig = jnp.ones((N,), dtype=bool)
+        gates = []
+        for lvl in range(L):
+            gates.append(elig)
+            elig = elig & own_found[lvl] & ~own_plane[lvl]
+        gate_f = jnp.concatenate(gates) & mask_f            # [L*N]
+        R = cfg.insert_row_cap
+        order = compact_order(gate_f, R)                    # [R]
+        pidx = jnp.minimum(order % N, N - 1)                # point per row
+        keys_r = keys.at[order].get(mode="fill", fill_value=0)
+        lvl_r = lvl_ids.at[order].get(mode="fill", fill_value=0)
+        mask_r = gate_f.at[order].get(mode="fill", fill_value=False)
+        found_r = found_f.at[order].get(mode="fill", fill_value=False)
+        slot_r = own_slot.reshape(L * N).at[order].get(
+            mode="fill", fill_value=miss
+        )
+        slot0 = jnp.where(found_r & mask_r, slot_r, miss)
+        need = mask_r & ~found_r
+        p_w_r = p_w[pidx]
+        var_r = var[pidx]
+
+        def fast(pt):
+            o2 = compact_order(need, cap)
+            k_c = keys_r.at[o2].get(mode="fill", fill_value=0)
+            lvl_c = lvl_r.at[o2].get(mode="fill", fill_value=0)
+            act_c = need.at[o2].get(mode="fill", fill_value=False)
+            pt, slot_c, ok_c = _find_or_insert_flat(pt, k_c, lvl_c, act_c, cfg)
+            slot = slot0.at[o2].set(jnp.where(ok_c, slot_c, miss), mode="drop")
+            return pt, slot, slot < miss
+
+        def slow(pt):
+            pt, slot_c, ok_c = _find_or_insert_flat(pt, keys_r, lvl_r, need, cfg)
+            slot = jnp.where(ok_c, slot_c, slot0)
+            return pt, slot, slot < miss
+
+        n_new = jnp.sum(need.astype(jnp.int32))
+        ptab_flat, slot, ok = jax.lax.cond(n_new <= cap, fast, slow, ptab_flat)
+        return _insert_finish(
+            vm, cfg, ptab_flat, p_w_r, var_r, keys_r, lvl_r, slot, ok
+        )
+
+    slot0 = jnp.where(found_f, own_slot.reshape(L * N), miss)
+    need = mask_f & ~found_f
+    n_new = jnp.sum(need.astype(jnp.int32))
 
     def fast(pt):
         order = compact_order(need, cap)                   # [cap]
@@ -483,7 +545,9 @@ def insert_points_hinted(
 
     ptab_flat, slot, ok = jax.lax.cond(n_new <= cap, fast, slow, ptab_flat)
     return _insert_finish(
-        vm, cfg, ptab_flat, p_w, var, keys, lvl_ids, slot, ok
+        vm, cfg, ptab_flat,
+        jnp.tile(p_w, (L, 1)), jnp.tile(var, (L, 1, 1)),
+        keys, lvl_ids, slot, ok,
     )
 
 
@@ -491,23 +555,25 @@ def _insert_finish(
     vm: VoxelMap,
     cfg: MapConfig,
     ptab_flat: jnp.ndarray,
-    p_w: jnp.ndarray,
-    var: jnp.ndarray,
-    keys: jnp.ndarray,     # [L*N, 3] voxel keys (defines centers for moments)
-    lvl_ids: jnp.ndarray,  # [L*N]
-    slot: jnp.ndarray,     # [L*N] resolved global slots (miss = dropped)
-    ok: jnp.ndarray,       # [L*N]
+    p_w_rows: jnp.ndarray,  # [R, 3] world point per insert row
+    var_rows: jnp.ndarray,  # [R, 3, 3] world-frame covariance per insert row
+    keys: jnp.ndarray,     # [R, 3] voxel keys (defines centers for moments)
+    lvl_ids: jnp.ndarray,  # [R]
+    slot: jnp.ndarray,     # [R] resolved global slots (miss = dropped)
+    ok: jnp.ndarray,       # [R]
 ) -> VoxelMap:
     """Moment accumulation, threshold logic, and budgeted refit —
-    everything in insert_points after slot resolution."""
+    everything in insert_points after slot resolution.  Rows are
+    (point, level) pairs; callers may pre-compact them (insert_row_cap)."""
     dtype = vm.mom.dtype
-    L, C, N = cfg.levels, cfg.capacity, p_w.shape[0]
+    L, C = cfg.levels, cfg.capacity
+    R = keys.shape[0]
     miss = L * C
 
     sizes = jnp.asarray(
         [level_size(cfg, l) for l in range(cfg.levels)], dtype=dtype
     )[lvl_ids]
-    vc = (keys.astype(dtype) + 0.5) * sizes[:, None]       # [L*N, 3]
+    vc = (keys.astype(dtype) + 0.5) * sizes[:, None]       # [R, 3]
 
     meta_flat = vm.meta.reshape(miss, META_DIM)
     mom_flat = vm.mom.reshape(miss, MOM_DIM)
@@ -518,10 +584,10 @@ def _insert_finish(
     contrib = ok & (meta_at[:, _M_N] < float(cfg.max_points_num))
     tgt = jnp.where(contrib, slot, miss)
 
-    p_rel = jnp.tile(p_w, (L, 1)) - vc
-    mom_rows = _pack_moments(point_moments(p_rel, jnp.tile(var, (L, 1, 1))))
+    p_rel = p_w_rows - vc
+    mom_rows = _pack_moments(point_moments(p_rel, var_rows))
 
-    counts = jnp.zeros((L * N, META_DIM), dtype=dtype)
+    counts = jnp.zeros((R, META_DIM), dtype=dtype)
     counts = counts.at[:, _M_N].set(1.0).at[:, _M_NEW].set(1.0)
     meta_flat = meta_flat.at[tgt].add(counts, mode="drop")
     mom_flat = mom_flat.at[tgt].add(mom_rows, mode="drop")
@@ -718,6 +784,7 @@ def match_points(
         own_keys=keys_f[: L * N].reshape(L, N, 3),
         own_slot=slot[: L * N].reshape(L, N),
         own_found=found[: L * N].reshape(L, N),
+        own_plane=is_plane[: L * N].reshape(L, N),
     )
 
 

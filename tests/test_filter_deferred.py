@@ -108,3 +108,22 @@ def test_insert_cap_equivalence(simdata):
         outs[cap] = (np.asarray(out.pos), np.asarray(carry.vm.n()).sum())
     np.testing.assert_allclose(outs[0][0], outs[4096][0], atol=1e-6)
     assert outs[0][1] == outs[4096][1]  # same number of points in the map
+
+
+def test_ancestor_gated_insert_close_to_ungated(simdata):
+    """insert_row_cap gates child-level rows on non-plane ancestors (the
+    reference's UpdateOctoTree descent); trajectories must stay close to
+    ungated all-level insertion and still track ground truth."""
+    cfg_g = make_config("deferred")
+    cfg_g.voxel_map.insert_row_cap = 4096
+    err_g, ratio_g = run_ate(cfg_g, simdata, simdata.imu)
+    assert ratio_g > 0.5, f"match ratio {ratio_g:.2f}"
+    assert err_g < 0.08, f"gated ATE {err_g:.3f} m"
+
+    res_u = run_offline(make_config("deferred"), simdata.scans, simdata.imu)
+    res_g = run_offline(cfg_g, simdata.scans, simdata.imu)
+    pu = np.stack([r.pos for r in res_u])
+    pg = np.stack([r.pos for r in res_g])
+    n = min(len(pu), len(pg))
+    diff = np.linalg.norm(pu[:n] - pg[:n], axis=-1)
+    assert diff.max() < 0.05, f"max gated/ungated divergence {diff.max():.3f} m"

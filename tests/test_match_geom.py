@@ -75,11 +75,11 @@ def test_match_pallas_matches_xla():
 
     names = [
         "order", "bidx", "pts_c", "p_i_c", "cross_c", "body_cov_c",
-        "mask_c", "own_keys", "own_slot", "own_found",
+        "mask_c", "own_keys", "own_slot", "own_found", "own_plane",
     ]
     for name, a_r, a_p in zip(names, aux_r, aux_p):
         if name in ("order", "bidx", "mask_c", "own_keys", "own_slot",
-                    "own_found"):
+                    "own_found", "own_plane"):
             np.testing.assert_array_equal(
                 np.asarray(a_p), np.asarray(a_r), err_msg=name
             )

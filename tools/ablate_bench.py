@@ -94,11 +94,19 @@ def main() -> None:
 
     dev = jax.devices()[0]
     carry = init_carry(scfg)
-    carry_fmt = jax.tree.map(
+    row_major = jax.tree.map(
         lambda x: Format(Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)),
         carry,
     )
-    carry = jax.device_put(carry, carry_fmt)
+    # Explicit copies: an identity jit degenerates to an aliasing no-op when
+    # loaded from the persistent compilation cache.  Pins stay ABSTRACT
+    # (tiling=None): concrete tiled pins are violated by the executables'
+    # outputs on this jax/XLA.
+    carry_fmt = row_major
+    relayout = jax.jit(
+        lambda t: jax.tree.map(jnp.copy, t), out_shardings=carry_fmt
+    )
+    carry = relayout(carry)
     step = jax.jit(
         fd.process_scan_deferred, static_argnums=3, donate_argnums=0,
         in_shardings=(carry_fmt, None, None), out_shardings=(carry_fmt, None),
@@ -139,9 +147,10 @@ def main() -> None:
                     jnp.zeros((L, cap, 3), jnp.int32),
                     jnp.full((L, cap), L * scfg.map_cfg.capacity, jnp.int32),
                     jnp.zeros((L, cap), bool),
+                    jnp.zeros((L, cap), bool),
                 )
             (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-             own_keys, own_slot, own_found) = aux
+             own_keys, own_slot, own_found, own_plane) = aux
 
             if do_chain:
                 if scfg.use_pallas:
@@ -180,7 +189,7 @@ def main() -> None:
                 )
                 vm = insert_points_hinted(
                     carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c,
-                    own_keys, own_slot, own_found,
+                    own_keys, own_slot, own_found, own_plane,
                 )
                 carry = carry._replace(vm=vm)
             return carry, (carry.state.pos + jnp.sum(nmatch) * 0.0)
@@ -191,7 +200,7 @@ def main() -> None:
         )
 
     def timeit(label, fn):
-        c = jax.device_put(jax.tree.map(jnp.copy, carry), carry_fmt)
+        c = relayout(jax.tree.map(jnp.copy, carry))
         c, o = fn(c, pkt)
         jax.block_until_ready(o)
         t0 = time.perf_counter()

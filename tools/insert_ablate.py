@@ -84,8 +84,28 @@ def main() -> None:
             packets.append(builder.pop())
     dev_packets = [to_device_packet(p) for p in packets]
 
-    step = jax.jit(fd.process_scan_deferred, static_argnums=3)
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
     carry = init_carry(scfg)
+    row_major = jax.tree.map(
+        lambda x: Format(Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)),
+        carry,
+    )
+    # Explicit copies: an identity jit degenerates to an aliasing no-op when
+    # loaded from the persistent compilation cache.  Pins stay ABSTRACT
+    # (tiling=None): concrete tiled pins are violated by the executables'
+    # outputs on this jax/XLA.
+    carry_fmt = row_major
+    relayout = jax.jit(
+        lambda t: jax.tree.map(jnp.copy, t), out_shardings=carry_fmt
+    )
+    carry = relayout(carry)
+    step = jax.jit(
+        fd.process_scan_deferred, static_argnums=3, donate_argnums=0,
+        in_shardings=(carry_fmt, None, None), out_shardings=(carry_fmt, None),
+    )
     for p in dev_packets[:10]:
         carry, out = step(carry, p, params, scfg)
     jax.block_until_ready(out.pos)
@@ -93,7 +113,8 @@ def main() -> None:
 
     mcfg = scfg.map_cfg
 
-    def staged_insert(vm, p_w, var, mask, own_keys, own_slot, own_found, stage):
+    def staged_insert(vm, p_w, var, mask, own_keys, own_slot, own_found,
+                      own_plane, stage):
         L, C, N = mcfg.levels, mcfg.capacity, p_w.shape[0]
         miss = L * C
         keys = own_keys.reshape(L * N, 3)
@@ -268,7 +289,7 @@ def main() -> None:
                 carry, packet, params, scfg, cap
             )
             (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-             own_keys, own_slot, own_found) = aux
+             own_keys, own_slot, own_found, own_plane) = aux
             from legkilo_tpu.ops.pallas.chain_stats import run_chain_stats
             carry, rots, poss, rot_covs, pos_covs, nmatch = run_chain_stats(
                 carry, packet, params, s40, nmatch_b, use_kin=scfg.use_kin
@@ -291,27 +312,34 @@ def main() -> None:
             else:
                 vm = staged_insert(
                     carry.vm, p_w_c, var_c, mask_c,
-                    own_keys, own_slot, own_found, stage,
+                    own_keys, own_slot, own_found, own_plane, stage,
                 )
             carry = carry._replace(vm=vm)
             return carry, (carry.state.pos + jnp.sum(nmatch) * 0.0)
 
-        return jax.jit(stepfn, donate_argnums=0)
+        return jax.jit(
+            stepfn, donate_argnums=0,
+            in_shardings=(carry_fmt, None), out_shardings=(carry_fmt, None),
+        )
 
     def timeit(label, fn):
-        c = jax.tree.map(jnp.copy, carry)
-        c, o = fn(c, pkt)
+        # Truncated stage programs may return ptab in a non-pinned layout
+        # (their cond pass-through ignores the output pin), so feeding the
+        # output back breaks the pinned-input check.  Pre-build pinned
+        # donated inputs instead; donation frees each after its call.
+        cs = [relayout(jax.tree.map(jnp.copy, carry)) for _ in range(args.reps + 1)]
+        c, o = fn(cs.pop(), pkt)
         jax.block_until_ready(o)
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            c, o = fn(c, pkt)
+        for ci in cs:
+            c, o = fn(ci, pkt)
         jax.block_until_ready(o)
         dt = (time.perf_counter() - t0) / args.reps * 1e3
         print(f"{label:28s} {dt:7.2f} ms")
         return dt
 
     prev = timeit("none (match+chain)", make_step("none"))
-    for stage in ["moments", "accmom", "accmom_unique", "accmom_narrow", "accmom_seg"]:
+    for stage in ["moments", "accmom", "accmom_unique", "accmom_seg"]:
         t = timeit(stage, make_step(stage))
         print(f"{'  delta':28s} {t - prev:7.2f} ms")
         prev = t
