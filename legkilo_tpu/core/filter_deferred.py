@@ -215,19 +215,17 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
     par2 = par2.at[0, mg._Q_RADIUS].set(mcfg.radius_k)
     par2 = par2.at[0, mg._Q_RATIO].set(params.noise.lidar_point_meas_ratio)
 
-    out = mg.select_call(
+    out, s40_flat = mg.select_call(
         par2, piw_t, covs_t[0:18], vc_t, plane_t, flags_t, mask_t,
-        levels=L, interpret=interpret, block=block,
+        bidx.astype(dtype)[None, :],
+        levels=L, n_buckets=nb, interpret=interpret, block=block,
     )
     matched_f = out[0]                                     # [cap] f32
-    feat_t = out[6:46]                                     # [40, cap]
-    featw_t = feat_t * out[1][None, :]
+    s40 = s40_flat.reshape(nb, 40, 40)
 
     onehot = (
         bidx[None, :] == jnp.arange(nb, dtype=bidx.dtype)[:, None]
     ).astype(dtype)                                        # [nb, cap]
-    lhs = onehot[:, None, :] * featw_t[None, :, :]         # [nb, 40, cap]
-    s40 = jnp.einsum("bic,jc->bij", lhs, feat_t)           # [nb, 40, 40]
     nmatch_b = jnp.einsum("bc,c->b", onehot, matched_f).astype(jnp.int32)
 
     p_i_c = piw_t[0:3].T                                   # [cap, 3]

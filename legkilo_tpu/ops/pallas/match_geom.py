@@ -254,9 +254,14 @@ def _select_kernel(
     plane_ref,    # [2L'*46, bs] gathered plane rows per candidate
     flags_ref,    # [4L', bs] f32: found(2L'), is_plane(2L')
     mask_ref,     # [1, bs] f32 valid-row flag
+    bidx_ref,     # [1, bs] f32 owning bucket per row (n_buckets when padded)
     out_ref,      # out [46, bs]: matched(1) w(1) r(1) nmask(1) pad(2) X(40)
+    s40_ref,      # out [n_buckets*40, 40]: per-bucket sum w X X^T, grid-
+                  # accumulated (ONE MXU contraction per block replaces the
+                  # XLA-side [nb, 40, cap] one-hot expansion + einsum)
     *,
     levels: int,
+    n_buckets: int,
 ):
     f32 = piw_ref.dtype
     nc = 2 * levels
@@ -385,6 +390,29 @@ def _select_kernel(
         [matched, w, r_meas, matched, zero, zero] + feat, axis=0
     )
 
+    # ---- per-bucket sufficient statistics: s40[b] = sum_{c in b} w X X^T.
+    # Build [n_buckets*40, bs] bucket-masked weighted features, then one
+    # f32 MXU contraction against X^T; accumulate across grid blocks.
+    x_rows = jnp.concatenate(feat, axis=0)                 # [40, bs]
+    xw_rows = x_rows * w                                   # w=0 on padding
+    bidx = bidx_ref[:]
+    lhs_parts = []
+    for b in range(n_buckets):
+        maskb = jnp.where(bidx == jnp.float32(b), 1.0, 0.0).astype(f32)
+        lhs_parts.append(xw_rows * maskb)
+    lhs = jnp.concatenate(lhs_parts, axis=0)               # [nb*40, bs]
+    part = jax.lax.dot_general(
+        lhs, x_rows,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                      # [nb*40, 40]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s40_ref[...] = jnp.zeros_like(s40_ref)
+
+    s40_ref[...] += part
+
 
 def _nwn(n3, wc):
     """n^T W n from rows."""
@@ -432,9 +460,11 @@ def keys_call(par, pts_t, rb_t, pb_t, levels, capacity, interpret=False,
     )(par, pts_t, rb_t, pb_t)
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "interpret", "block"))
-def select_call(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t,
-                levels, interpret=False, block=512):
+@functools.partial(
+    jax.jit, static_argnames=("levels", "n_buckets", "interpret", "block")
+)
+def select_call(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t, bidx_t,
+                levels, n_buckets, interpret=False, block=512):
     c = piw_t.shape[1]
     f32 = piw_t.dtype
     grid = (c // block,)
@@ -447,13 +477,22 @@ def select_call(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t,
         return pl.BlockSpec((w, block), lambda g: (0, g), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_select_kernel, levels=levels),
-        out_shape=jax.ShapeDtypeStruct((46, c), f32),
+        functools.partial(_select_kernel, levels=levels, n_buckets=n_buckets),
+        out_shape=(
+            jax.ShapeDtypeStruct((46, c), f32),
+            jax.ShapeDtypeStruct((n_buckets * 40, 40), f32),
+        ),
         grid=grid,
         in_specs=[
             full_row(8), col(6), col(18), col(3 * nc), col(46 * nc),
-            col(2 * nc), col(1),
+            col(2 * nc), col(1), col(1),
         ],
-        out_specs=col(46),
+        out_specs=(
+            col(46),
+            pl.BlockSpec(
+                (n_buckets * 40, 40), lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
         interpret=interpret,
-    )(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t)
+    )(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t, bidx_t)

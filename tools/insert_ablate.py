@@ -49,6 +49,7 @@ def main() -> None:
     cfg.lidar.voxel_grid_resolution = 0.3
     cfg.voxel_map.capacity_log2 = 16
     cfg.voxel_map.insert_rounds = 1
+    cfg.voxel_map.insert_row_cap = 4096
     cfg.tpu.bucket_quantum_ms = 4.0
     cfg.tpu.max_buckets = 28
     cfg.tpu.max_points_per_bucket = 256

@@ -150,31 +150,29 @@ def main() -> None:
     plane_t, flags_t = j4(carry.vm, slot, found)
 
     # ---- stage 5: select kernel --------------------------------------------
-    def stage5(piw_t, covs_t, vc_t, plane_t, flags_t, mask_c):
+    def stage5(piw_t, covs_t, vc_t, plane_t, flags_t, mask_c, bidx):
         par2 = jnp.zeros((1, 8), dtype=dtype)
         par2 = par2.at[0, mg._Q_SIGMA].set(mcfg.sigma_num)
         par2 = par2.at[0, mg._Q_RADIUS].set(mcfg.radius_k)
         par2 = par2.at[0, mg._Q_RATIO].set(params.noise.lidar_point_meas_ratio)
         mask_t = mask_c.astype(dtype)[None, :]
         return mg.select_call(par2, piw_t, covs_t[0:18], vc_t, plane_t, flags_t,
-                              mask_t, levels=L, interpret=False, block=block)
+                              mask_t, bidx.astype(dtype)[None, :],
+                              levels=L, n_buckets=nb,
+                              interpret=False, block=block)
 
     j5 = jax.jit(stage5)
-    out = j5(piw_t, covs_t, vc_t, plane_t, flags_t, mask_c)
+    out, s40_flat = j5(piw_t, covs_t, vc_t, plane_t, flags_t, mask_c, bidx)
 
-    # ---- stage 6: suffstats ------------------------------------------------
+    # ---- stage 6: nmatch reduction -----------------------------------------
     def stage6(out, bidx):
         matched_f = out[0]
-        feat_t = out[6:46]
-        featw_t = feat_t * out[1][None, :]
         onehot = (bidx[None, :] == jnp.arange(nb, dtype=bidx.dtype)[:, None]).astype(dtype)
-        lhs = onehot[:, None, :] * featw_t[None, :, :]
-        s40 = jnp.einsum("bic,jc->bij", lhs, feat_t)
         nmatch_b = jnp.einsum("bc,c->b", onehot, matched_f).astype(jnp.int32)
-        return s40, nmatch_b
+        return nmatch_b
 
     j6 = jax.jit(stage6)
-    s40, nmb = j6(out, bidx)
+    nmb = j6(out, bidx)
 
     def timeit(label, fn, *a, reps=50):
         outs = fn(*a)
@@ -190,8 +188,8 @@ def main() -> None:
     timeit("2 keys kernel", j2, carry.cov, pts_t, rb_t, pb_t)
     timeit("3 probe gathers", j3, carry.vm, keys_t, idx0_t)
     timeit("4 meta/plane gathers", j4, carry.vm, slot, found)
-    timeit("5 select kernel", j5, piw_t, covs_t, vc_t, plane_t, flags_t, mask_c)
-    timeit("6 suffstats", j6, out, bidx)
+    timeit("5 select kernel", j5, piw_t, covs_t, vc_t, plane_t, flags_t, mask_c, bidx)
+    timeit("6 nmatch", j6, out, bidx)
 
 
 if __name__ == "__main__":
