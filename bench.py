@@ -26,8 +26,16 @@ def main() -> None:
     import jax
 
     # Persistent compilation cache: TPU compiles of the full scan program are
-    # minutes-long; cache them across runs/rounds.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # minutes-long; cache them across runs/rounds.  The cache key does NOT
+    # include resolved layout constraints on this jax, so the pinned and
+    # unpinned configurations MUST use separate cache dirs — a collision
+    # loads an executable whose parameter layouts disagree with the caller's
+    # bookkeeping and the runtime throws async INVALID_ARGUMENT.
+    mode = os.environ.get("LEGKILO_BENCH_LAYOUT", "pinned")
+    cache = "/root/repo/.jax_cache" if mode == "pinned" else (
+        "/root/repo/.jax_cache_nopin"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
@@ -76,6 +84,10 @@ def main() -> None:
     # valid points; scatter cost on this rig scales with row count
     # (docs/PERF_NOTES.md).
     cfg.voxel_map.insert_row_cap = 4096
+    # ~640 voxels cross a refit threshold per steady-state scan; 1024 covers
+    # them and halves the refit tail (fit + 3 scatter-sets).
+    cfg.voxel_map.refit_budget = 1024
+    cfg.voxel_map.probe_length = 4
     scfg = StaticConfig(
         map_cfg=map_config_from(
             cfg.voxel_map,
@@ -114,58 +126,75 @@ def main() -> None:
         from legkilo_tpu.core.filter_deferred import process_scan_deferred as step_fn
     else:
         step_fn = process_scan
-    # Donating the carry lets XLA update the voxel-map tables (~140 MB of
-    # meta/mom/plane rows) in place instead of copying them every scan.
-    # Pinning the carry to row-major layouts prevents XLA layout assignment
-    # from picking transposed layouts for the map tables, which otherwise
-    # costs ~3 ms/scan in whole-table layout-conversion copies around the
-    # insert-phase scatters (docs/PERF_NOTES.md).
+    # Donating the carry lets XLA update the voxel-map tables (~86 MB of
+    # packed rows) in place instead of copying them every scan.
+    #
+    # Layouts: XLA auto-layout prefers width-major (transposed) layouts for
+    # the [rows, width] map tables, which costs ~1 ms/scan in conversion
+    # copies around the insert-phase scatters (docs/PERF_NOTES.md).  Pinning
+    # the float tables row-major avoids that, BUT on this jax/XLA a pinned
+    # step executable loaded from the persistent compilation cache emits its
+    # outputs in non-pinned layouts and the next call's strict input check
+    # raises.  Freshly-compiled executables behave (stable row-major
+    # feedback), so: try the pinned configuration first — the fast path
+    # whenever the code changed since the cache was written — and fall back
+    # to the unpinned configuration (stable on any cache state, ~1 ms
+    # slower) if the layout machinery objects.
     from jax.experimental.layout import Format, Layout
     from jax.sharding import SingleDeviceSharding
 
-    carry = init_carry(scfg)
     dev = jax.devices()[0]
-    row_major = jax.tree.map(
-        lambda x: Format(
-            Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)
-        ),
-        carry,
-    )
-    # Freshly-created arrays have XLA's default (often transposed) layouts;
-    # relay them out row-major up front.  device_put can silently skip the
-    # relayout when the array is already on the target device, and an
-    # identity jit degenerates to an aliasing no-op when loaded from the
-    # persistent compilation cache — an explicit copy survives both.  The
-    # jit pins stay ABSTRACT (tiling=None): concrete tiled pins are
-    # violated by the executables' outputs on this jax/XLA.
-    carry = jax.jit(
-        lambda t: jax.tree.map(jnp.copy, t), out_shardings=row_major
-    )(carry)
-    carry_fmt = row_major
-    step = jax.jit(
-        step_fn,
-        static_argnums=3,
-        donate_argnums=0,
-        in_shardings=(carry_fmt, None, None),
-        out_shardings=(carry_fmt, None),
-    )
-
     dev_packets = [to_device_packet(p) for p in packets]
-    # Warm-up / map bootstrap on the first packets (includes compile).
-    carry, out = step(carry, dev_packets[0], params, scfg)
-    jax.block_until_ready(out.pos)
-    for p in dev_packets[1:10]:
-        carry, out = step(carry, p, params, scfg)
-    jax.block_until_ready(out.pos)
 
-    # Timed steady-state region.
-    timed = dev_packets[10:]
-    t0 = time.perf_counter()
-    for p in timed:
-        carry, out = step(carry, p, params, scfg)
-    jax.block_until_ready(out.pos)
-    dt = time.perf_counter() - t0
-    ms_per_scan = dt / len(timed) * 1e3
+    def measure(pinned: bool) -> float:
+        carry = init_carry(scfg)
+        if pinned:
+            def _fmt(x):
+                if jnp.issubdtype(x.dtype, jnp.integer) or (
+                    x.ndim == 3 and x.shape[-1] < 8
+                ):
+                    return SingleDeviceSharding(dev)
+                return Format(
+                    Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)
+                )
+
+            fmt = jax.tree.map(_fmt, carry)
+            carry = jax.jit(
+                lambda t: jax.tree.map(jnp.copy, t), out_shardings=fmt
+            )(carry)
+            step = jax.jit(
+                step_fn, static_argnums=3, donate_argnums=0,
+                in_shardings=(fmt, None, None), out_shardings=(fmt, None),
+            )
+        else:
+            carry = jax.tree.map(
+                lambda x: jax.device_put(
+                    np.asarray(x),
+                    Format(
+                        Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)
+                    ),
+                ),
+                carry,
+            )
+            step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
+
+        # Warm-up / map bootstrap on the first packets (includes compile).
+        carry, out = step(carry, dev_packets[0], params, scfg)
+        jax.block_until_ready(out.pos)
+        for p in dev_packets[1:10]:
+            carry, out = step(carry, p, params, scfg)
+        jax.block_until_ready(out.pos)
+
+        # Timed steady-state region.
+        timed = dev_packets[10:]
+        t0 = time.perf_counter()
+        for p in timed:
+            carry, out = step(carry, p, params, scfg)
+        jax.block_until_ready(out.pos)
+        dt = time.perf_counter() - t0
+        return dt / len(timed) * 1e3
+
+    ms_per_scan = measure(pinned=os.environ["LEGKILO_BENCH_LAYOUT"] == "pinned")
 
     baseline_ms = 12.5  # midpoint of the reference's 5-20 ms claim
     print(
@@ -180,5 +209,35 @@ def main() -> None:
     )
 
 
+def orchestrate() -> int:
+    """Try the pinned layout configuration, fall back to unpinned.
+
+    A failed pinned attempt can leave the (tunneled) TPU client with
+    poisoned in-flight buffers, so each attempt runs in its own process.
+    """
+    import subprocess
+    import sys
+
+    last = ""
+    for mode in ("pinned", "unpinned"):
+        env = dict(os.environ, LEGKILO_BENCH_LAYOUT=mode)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last = r.stderr[-2000:]
+    print(last, file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if os.environ.get("LEGKILO_BENCH_LAYOUT"):
+        main()
+    else:
+        sys.exit(orchestrate())

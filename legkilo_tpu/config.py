@@ -74,6 +74,9 @@ class VoxelMapConfig:
     # is not a plane, matching the reference's UpdateOctoTree descent
     # (voxel_map.cc:185-241).  0 keeps ungated all-level insertion.
     insert_row_cap: int = 0
+    # Max plane refits per insert call; slots beyond the budget keep
+    # accumulating new_n and refit on a later scan (graceful degradation).
+    refit_budget: int = 2048
 
 
 @dataclasses.dataclass
@@ -194,6 +197,7 @@ _VOXEL_KEY_MAP = {
     "tpu_map_insert_rounds": "insert_rounds",
     "tpu_map_insert_new_cap": "insert_new_cap",
     "tpu_map_insert_row_cap": "insert_row_cap",
+    "tpu_map_refit_budget": "refit_budget",
 }
 _TPU_KEY_MAP = {
     "tpu_max_buckets": "max_buckets",

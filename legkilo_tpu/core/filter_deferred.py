@@ -204,7 +204,7 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
     plane_at = carry.vm.plane.reshape(miss, -1).at[slot].get(
         mode="fill", fill_value=0.0
     )                                                      # [2L, cap, 46]
-    plane_t = plane_at.transpose(0, 2, 1).reshape(2 * L * 46, cap)
+    plane_t = plane_at.transpose(0, 2, 1).reshape(2 * L * 31, cap)
     flags_t = jnp.concatenate(
         [found.astype(dtype), isp.astype(dtype)], axis=0
     )

@@ -11,13 +11,17 @@ adapted from FAST-LIVO2), re-designed for XLA:
   2*parent + offset), no pointers.
 * Each slot stores the moment sufficient statistics of plane_fit.py instead
   of a point list; refits are closed-form and batched.
-* Points are inserted at **every** level simultaneously.  The reference
-  pushes stored points down into children when a voxel "cuts"
-  (cut_octo_tree, voxel_map.cc:139-183); simultaneous insertion gives each
-  child the same point history without replay.  Matching still honors the
-  octree search order: a child's plane is only eligible when every ancestor
-  voxel exists and is not itself a plane (build_single_residual,
-  voxel_map.cc:363-427).
+* Points insert at every level simultaneously (default), or — with
+  ``insert_row_cap`` — only while every ancestor voxel exists and is not a
+  plane, which is the reference's own UpdateOctoTree descent (it stops at
+  the first plane node, voxel_map.cc:185-241).  The reference pushes stored
+  points down into children when a voxel "cuts" (cut_octo_tree,
+  voxel_map.cc:139-183); simultaneous insertion gives each child the same
+  point history without replay, while the gated mode trades replay-free
+  history below planar parents for ~levels-times fewer scatter rows.
+  Matching honors the octree search order either way: a child's plane is
+  only eligible when every ancestor voxel exists and is not itself a plane
+  (build_single_residual, voxel_map.cc:363-427).
 * The reference's neighbor-voxel retry (KILO.cc:156-178) compares
   ``p/voxel_size`` against a center in meters — a unit mixup that makes the
   "neighbor" always the +1/+1/+1 (or -1) diagonal.  We implement the intended
@@ -38,9 +42,11 @@ adapted from FAST-LIVO2), re-designed for XLA:
                          n >= max_points_num — storing it cost a second
                          whole-batch scatter per insert just to mirror a
                          monotone function of n)
-      mom   [L, C, 129]  m1(3) m2(9) s0(9) s1(27) s2(81)
-      plane [L, C, 46]   center_rel(3) normal(3) evals(3) radius(1)
-                         plane_var(36)
+      mom   [L, C, 69]   m1(3) m2(6) s0(6) s1(18) s2(36), symmetry-packed
+                         (m2/s0 symmetric, s1 symmetric in its V indices,
+                         s2 in both index pairs — half the table bytes)
+      plane [L, C, 31]   center_rel(3) normal(3) evals(3) radius(1)
+                         plane_var(21, symmetric 6x6 upper triangle)
 
 All state lives in a single ``VoxelMap`` NamedTuple of arrays -> trivially
 vmap-able (per-replica maps), donate-able, and orbax-checkpointable (the
@@ -63,8 +69,8 @@ _HASH_P3 = jnp.uint32(83492791)
 # meta row layout (frozen is derived: n >= max_points_num)
 _M_N, _M_NEW, _M_INIT, _M_PLANE = 0, 1, 2, 3
 META_DIM = 4
-MOM_DIM = 129
-PLANE_DIM = 46
+MOM_DIM = 69  # symmetry-packed; see _pack_moments
+PLANE_DIM = 31  # plane_var symmetric 6x6 packed to 21
 # ptab row layout: key x/y/z, occupied flag, is_plane flag (all int32)
 _T_OCC, _T_PLANE = 3, 4
 PTAB_DIM = 5
@@ -105,6 +111,7 @@ def map_config_from(cfg, use_pallas_refit: bool = False) -> MapConfig:
         insert_rounds=int(getattr(cfg, "insert_rounds", 6)),
         insert_new_cap=int(getattr(cfg, "insert_new_cap", 512)),
         insert_row_cap=int(getattr(cfg, "insert_row_cap", 0)),
+        refit_budget=int(getattr(cfg, "refit_budget", 2048)),
         use_pallas_refit=bool(use_pallas_refit),
     )
 
@@ -154,7 +161,7 @@ class VoxelMap(NamedTuple):
         return self.plane[..., 9]
 
     def plane_var(self):
-        return self.plane[..., 10:46].reshape(self.plane.shape[:-1] + (6, 6))
+        return _expand_pv(self.plane[..., 10:31])
 
 
 class MatchResult(NamedTuple):
@@ -175,31 +182,60 @@ class MatchResult(NamedTuple):
     own_plane: jnp.ndarray   # [L, N] bool (slot holds a fitted plane)
 
 
+# Symmetry packing for the moment rows: m2, s0 are symmetric 3x3 (6 unique),
+# s1[b,c,a] is symmetric in (b,c) (18 unique), s2[b,c,d,a] is symmetric in
+# (b,c) AND in (d,a) (36 unique) — all because V_i and p p^T are symmetric.
+# Storing only unique entries halves the mom table (129 -> 69 floats/slot),
+# its scatter-add bytes, and any layout-conversion copies.
+_SYM6 = (0, 1, 2, 4, 5, 8)           # upper triangle of a row-major 3x3
+_FULL9 = (0, 1, 2, 1, 3, 4, 2, 4, 5)  # sym6 index for each of the 9 entries
+# row offsets within a packed row
+_O_M1, _O_M2, _O_S0, _O_S1, _O_S2 = 0, 3, 9, 15, 33
+# 6x6 symmetric packing for plane_var (upper triangle, row-major)
+_SYM21_PAIRS = tuple((i, j) for i in range(6) for j in range(i, 6))
+_TRIU36 = tuple(i * 6 + j for (i, j) in _SYM21_PAIRS)
+_FULL36 = tuple(
+    _SYM21_PAIRS.index((min(i, j), max(i, j)))
+    for i in range(6) for j in range(6)
+)
+
+
+def _expand_pv(rows21):
+    """[..., 21] packed plane_var -> [..., 6, 6]."""
+    return rows21[..., list(_FULL36)].reshape(rows21.shape[:-1] + (6, 6))
+
+
 def _pack_moments(m: PlaneMoments) -> jnp.ndarray:
-    """PlaneMoments (without n) -> [..., MOM_DIM] rows."""
+    """PlaneMoments (without n) -> [..., MOM_DIM] symmetry-packed rows."""
     lead = m.m1.shape[:-1]
+    sym6 = list(_SYM6)
+    m2 = m.m2.reshape(lead + (9,))[..., sym6]
+    s0 = m.s0.reshape(lead + (9,))[..., sym6]
+    s1 = m.s1.reshape(lead + (9, 3))[..., sym6, :].reshape(lead + (18,))
+    s2 = m.s2.reshape(lead + (9, 9))[..., sym6, :][..., :, sym6].reshape(
+        lead + (36,)
+    )
     return jnp.concatenate(
-        [
-            m.m1.reshape(lead + (3,)),
-            m.m2.reshape(lead + (9,)),
-            m.s0.reshape(lead + (9,)),
-            m.s1.reshape(lead + (27,)),
-            m.s2.reshape(lead + (81,)),
-        ],
-        axis=-1,
+        [m.m1.reshape(lead + (3,)), m2, s0, s1, s2], axis=-1
     )
 
 
 def _unpack_moments(rows: jnp.ndarray, n: jnp.ndarray) -> PlaneMoments:
     lead = rows.shape[:-1]
-    return PlaneMoments(
-        n=n,
-        m1=rows[..., 0:3],
-        m2=rows[..., 3:12].reshape(lead + (3, 3)),
-        s0=rows[..., 12:21].reshape(lead + (3, 3)),
-        s1=rows[..., 21:48].reshape(lead + (3, 3, 3)),
-        s2=rows[..., 48:129].reshape(lead + (3, 3, 3, 3)),
+    full9 = list(_FULL9)
+    m2 = rows[..., _O_M2 : _O_M2 + 6][..., full9].reshape(lead + (3, 3))
+    s0 = rows[..., _O_S0 : _O_S0 + 6][..., full9].reshape(lead + (3, 3))
+    s1 = (
+        rows[..., _O_S1 : _O_S1 + 18]
+        .reshape(lead + (6, 3))[..., full9, :]
+        .reshape(lead + (3, 3, 3))
     )
+    s2 = (
+        rows[..., _O_S2 : _O_S2 + 36]
+        .reshape(lead + (6, 6))[..., full9, :][..., :, full9]
+        .reshape(lead + (3, 3, 3, 3))
+    )
+    return PlaneMoments(n=n, m1=rows[..., 0:3], m2=m2, s0=s0, s1=s1, s2=s2)
 
 
 def make_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelMap:
@@ -637,8 +673,8 @@ def _insert_finish(
             par, mom_r.T, meta_r.T,
             interpret=jax.default_backend() == "cpu",
         )
-        plane_rows = out[0:46].T
-        meta_fit = out[46 : 46 + META_DIM].T
+        plane_rows = out[0:PLANE_DIM].T
+        meta_fit = out[PLANE_DIM : PLANE_DIM + META_DIM].T
     else:
         n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
         fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
@@ -648,7 +684,7 @@ def _insert_finish(
                 fit.normal,
                 fit.evals,
                 fit.radius[:, None],
-                fit.plane_var.reshape(-1, 36),
+                fit.plane_var.reshape(-1, 36)[:, list(_TRIU36)],
             ],
             axis=-1,
         )
@@ -728,7 +764,7 @@ def match_points(
     center = vc_f + plane_at[:, 0:3]
     normal = plane_at[:, 3:6]
     radius = plane_at[:, 9]
-    plane_var = plane_at[:, 10:46].reshape(-1, 6, 6)
+    plane_var = _expand_pv(plane_at[:, 10:31])
 
     p_rep = jnp.tile(p_w, (2 * L, 1))
     var_rep = jnp.tile(var, (2 * L, 1, 1))

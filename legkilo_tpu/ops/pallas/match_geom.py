@@ -62,6 +62,12 @@ def _rowdot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _sym21(i, j):
+    """Upper-triangle index of (i, j) in a packed symmetric 6x6."""
+    i, j = min(i, j), max(i, j)
+    return i * 6 + j - (i * (i + 1)) // 2
+
+
 # --------------------------- kernel 1: keys ---------------------------------
 
 
@@ -251,7 +257,8 @@ def _select_kernel(
     bcov_ref,     # [18, bs]: full world cov(9) for gates, sensor-only
                   # world cov(9) for the measurement variance
     vc_ref,       # [6L', bs] candidate voxel centers
-    plane_ref,    # [2L'*46, bs] gathered plane rows per candidate
+    plane_ref,    # [2L'*31, bs] gathered plane rows per candidate
+                  # (plane_var packed to its symmetric upper triangle)
     flags_ref,    # [4L', bs] f32: found(2L'), is_plane(2L')
     mask_ref,     # [1, bs] f32 valid-row flag
     bidx_ref,     # [1, bs] f32 owning bucket per row (n_buckets when padded)
@@ -293,7 +300,7 @@ def _select_kernel(
         reachable = jnp.ones(pwx.shape, dtype=f32)
         for lvl in range(levels):
             m = chain * levels + lvl
-            base = m * 46
+            base = m * 31
             pr = lambda k: plane_ref[base + k : base + k + 1, :]
             found = flags_ref[m : m + 1, :]
             isp = flags_ref[nc + m : nc + m + 1, :]
@@ -319,7 +326,7 @@ def _select_kernel(
             for i in range(6):
                 row = jnp.zeros(pwx.shape, dtype=f32)
                 for jj in range(6):
-                    row = row + pr(10 + 6 * i + jj) * j6[jj]
+                    row = row + pr(10 + _sym21(i, jj)) * j6[jj]
                 sig = sig + j6[i] * row
             n3 = [nx, ny, nz]
             for i in range(3):
@@ -484,7 +491,7 @@ def select_call(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t, bidx_t,
         ),
         grid=grid,
         in_specs=[
-            full_row(8), col(6), col(18), col(3 * nc), col(46 * nc),
+            full_row(8), col(6), col(18), col(3 * nc), col(31 * nc),
             col(2 * nc), col(1), col(1),
         ],
         out_specs=(

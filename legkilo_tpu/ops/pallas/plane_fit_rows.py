@@ -18,12 +18,12 @@ identical math (equivalence: tests/test_plane_fit_pallas.py).
 
 Row contracts (B = refit budget, a multiple of 128):
 
-    mom_t  [129, B]  packed moments (voxel_map._pack_moments layout)
+    mom_t  [69,  B]  symmetry-packed moments (voxel_map._pack_moments)
     meta_t [4,   B]  meta rows (n, new_n, initialized, is_plane)
     par    [1,   8]  planer_threshold at [0, 0]
-    out    [50,  B]  plane row (46: center_rel, normal, evals, radius,
-                     plane_var) then meta_fit row (4: n, 0, 1, is_plane) —
-                     the exact rows _insert_finish scatters.
+    out    [35,  B]  plane row (31: center_rel, normal, evals, radius,
+                     plane_var upper triangle) then meta_fit row (4: n, 0,
+                     1, is_plane) — the exact rows _insert_finish scatters.
 """
 
 from __future__ import annotations
@@ -111,6 +111,14 @@ def _eigvec(cov, lam):
     return [jnp.where(good, v[i] * inv_n, fallback[i]) for i in range(3)]
 
 
+def _sym6(i, j):
+    """Index of (i, j) within the packed upper triangle of a sym 3x3."""
+    i, j = min(i, j), max(i, j)
+    return {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 1): 3, (1, 2): 4, (2, 2): 5}[
+        (i, j)
+    ]
+
+
 def _fit_kernel(par_ref, mom_ref, meta_ref, out_ref):
     f32 = mom_ref.dtype
 
@@ -120,13 +128,15 @@ def _fit_kernel(par_ref, mom_ref, meta_ref, out_ref):
     threshold = par_ref[0, 0]
     n = jnp.maximum(meta_ref[0:1, :], 1.0)
     inv_n = 1.0 / n
+    # Packed row layout (voxel_map._pack_moments): m1 @0, m2 sym6 @3,
+    # s0 sym6 @9, s1 @15 (sym6 x 3), s2 @33 (sym6 x sym6).
     cr = [mr(i) * inv_n for i in range(3)]
-    s0 = [[mr(12 + 3 * i + j) for j in range(3)] for i in range(3)]
+    s0 = [[mr(9 + _sym6(i, j)) for j in range(3)] for i in range(3)]
 
     cov = [[None] * 3 for _ in range(3)]
     for i in range(3):
         for j in range(i, 3):
-            cov[i][j] = mr(3 + 3 * i + j) * inv_n - cr[i] * cr[j]
+            cov[i][j] = mr(3 + _sym6(i, j)) * inv_n - cr[i] * cr[j]
             cov[j][i] = cov[i][j]
 
     # ---- eigenvalues (eig3x3.eigh3x3, acos via shared polynomial) ----
@@ -187,10 +197,10 @@ def _fit_kernel(par_ref, mom_ref, meta_ref, out_ref):
     # t[b,c,d,a] = s2[b,c,d,a] - s1[b,c,d] cr[a] - s1[b,c,a] cr[d]
     #              + s0[b,c] cr[d] cr[a]
     def s1v(bi, ci, di):
-        return mr(21 + (bi * 3 + ci) * 3 + di)
+        return mr(15 + _sym6(bi, ci) * 3 + di)
 
     def s2v(bi, ci, di, ai):
-        return mr(48 + ((bi * 3 + ci) * 3 + di) * 3 + ai)
+        return mr(33 + _sym6(bi, ci) * 6 + _sym6(di, ai))
 
     def tv(bi, ci, di, ai):
         return (
@@ -252,14 +262,21 @@ def _fit_kernel(par_ref, mom_ref, meta_ref, out_ref):
             t_nq[r_][s_] = acc_nq
 
     inv_n2 = inv_n * inv_n
-    pv_rows = []
-    for r_ in range(3):
-        pv_rows += [t_nn[r_][0], t_nn[r_][1], t_nn[r_][2],
-                    t_nq[r_][0], t_nq[r_][1], t_nq[r_][2]]
-    for r_ in range(3):
-        pv_rows += [t_nq[0][r_], t_nq[1][r_], t_nq[2][r_],
-                    s0[r_][0] * inv_n2, s0[r_][1] * inv_n2, s0[r_][2] * inv_n2]
-    pv_rows = [row * is_plane_f for row in pv_rows]
+
+    def pv(r_, c_):
+        # full 6x6 [[t_nn, t_nq], [t_nq^T, s0/n^2]]
+        if r_ < 3 and c_ < 3:
+            return t_nn[r_][c_]
+        if r_ < 3:
+            return t_nq[r_][c_ - 3]
+        if c_ < 3:
+            return t_nq[c_][r_ - 3]
+        return s0[r_ - 3][c_ - 3] * inv_n2
+
+    # symmetric upper triangle only (voxel_map plane-row packing)
+    pv_rows = [
+        pv(r_, c_) * is_plane_f for r_ in range(6) for c_ in range(r_, 6)
+    ]
 
     radius = jnp.sqrt(jnp.maximum(lam_max, 0.0))
     meta_fit = [
@@ -290,9 +307,9 @@ def fit_rows_call(par, mom_t, meta_t, interpret=False, block=512):
 
     return pl.pallas_call(
         _fit_kernel,
-        out_shape=jax.ShapeDtypeStruct((50, b), f32),
+        out_shape=jax.ShapeDtypeStruct((35, b), f32),
         grid=grid,
-        in_specs=[full_row(8), col(129), col(4)],
-        out_specs=col(50),
+        in_specs=[full_row(8), col(69), col(4)],
+        out_specs=col(35),
         interpret=interpret,
     )(par, mom_t, meta_t)

@@ -56,18 +56,10 @@ def test_fit_rows_matches_fit_planes(rng):
     out = fit_rows_call(par, mom_rows.T, meta_rows.T, interpret=True, block=128)
     out = np.asarray(out.T)
 
+    from legkilo_tpu.core.voxel_map import _unpack_moments
+
     n_r = jnp.maximum(meta_rows[:, 0], 1.0)
-    fit = plane_fit.fit_planes(
-        plane_fit.PlaneMoments(
-            n=n_r,
-            m1=mom_rows[:, 0:3],
-            m2=mom_rows[:, 3:12].reshape(-1, 3, 3),
-            s0=mom_rows[:, 12:21].reshape(-1, 3, 3),
-            s1=mom_rows[:, 21:48].reshape(-1, 3, 3, 3),
-            s2=mom_rows[:, 48:129].reshape(-1, 3, 3, 3, 3),
-        ),
-        THRESHOLD,
-    )
+    fit = plane_fit.fit_planes(_unpack_moments(mom_rows, n_r), THRESHOLD)
 
     n_wellcond = k - 2  # the last two rows are eigenvalue-degenerate
     for i in range(k):
@@ -82,7 +74,7 @@ def test_fit_rows_matches_fit_planes(rng):
             err_msg=f"radius row {i}")
         # meta_fit: n, 0, 1, is_plane
         np.testing.assert_allclose(
-            out[i, 46:50],
+            out[i, 31:35],
             [metas[i][0], 0.0, 1.0,
              float(np.asarray(fit.is_plane)[i])],
             atol=1e-6, err_msg=f"meta row {i}")
@@ -90,10 +82,11 @@ def test_fit_rows_matches_fit_planes(rng):
             np.testing.assert_allclose(
                 out[i, 3:6], np.asarray(fit.normal)[i], atol=2e-4,
                 err_msg=f"normal row {i}")
-            pv_ref = np.asarray(fit.plane_var)[i].reshape(36)
+            from legkilo_tpu.core.voxel_map import _TRIU36
+            pv_ref = np.asarray(fit.plane_var)[i].reshape(36)[list(_TRIU36)]
             scale = max(1.0, np.abs(pv_ref).max())
             np.testing.assert_allclose(
-                out[i, 10:46], pv_ref, atol=5e-4 * scale,
+                out[i, 10:31], pv_ref, atol=5e-4 * scale,
                 err_msg=f"plane_var row {i}")
         else:
             # Repeated min eigenvalue -> the normal direction is ambiguous;

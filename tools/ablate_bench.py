@@ -95,10 +95,15 @@ def main() -> None:
 
     dev = jax.devices()[0]
     carry = init_carry(scfg)
-    row_major = jax.tree.map(
-        lambda x: Format(Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)),
-        carry,
-    )
+    def _fmt(x):
+        # ptab/meta: compiler default layout (see bench.py for why)
+        if jnp.issubdtype(x.dtype, jnp.integer) or (
+            x.ndim == 3 and x.shape[-1] < 8
+        ):
+            return SingleDeviceSharding(dev)
+        return Format(Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev))
+
+    row_major = jax.tree.map(_fmt, carry)
     # Explicit copies: an identity jit degenerates to an aliasing no-op when
     # loaded from the persistent compilation cache.  Pins stay ABSTRACT
     # (tiling=None): concrete tiled pins are violated by the executables'

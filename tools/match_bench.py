@@ -142,7 +142,7 @@ def main() -> None:
         meta_at = vm.meta.reshape(miss, -1).at[slot].get(mode="fill", fill_value=0.0)
         isp = meta_at[..., 4] > 0.5
         plane_at = vm.plane.reshape(miss, -1).at[slot].get(mode="fill", fill_value=0.0)
-        plane_t = plane_at.transpose(0, 2, 1).reshape(2 * L * 46, cap)
+        plane_t = plane_at.transpose(0, 2, 1).reshape(2 * L * 31, cap)
         flags_t = jnp.concatenate([found.astype(dtype), isp.astype(dtype)], axis=0)
         return plane_t, flags_t
 
