@@ -192,12 +192,14 @@ def cmd_sweep(args: argparse.Namespace) -> int:
         while builder.ready():
             packets.append(builder.pop())
 
-    scfg = StaticConfig(
-        map_cfg=map_config_from(cfg.voxel_map),
-        use_kin=False,
-        dept_err=cfg.voxel_map.dept_err,
-        beam_err=cfg.voxel_map.beam_err,
-    )
+    if getattr(args, "pipeline", None):
+        cfg.tpu.pipeline = args.pipeline
+    if getattr(args, "pallas", False):
+        cfg.tpu.use_pallas = True
+        cfg.tpu.use_pallas_match = True
+    from .runner import make_static_config
+
+    scfg = make_static_config(cfg, use_kin=False)
     ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float32).reshape(3, 3)
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
@@ -211,17 +213,31 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     bparams = shard_batch(perturb_params(params, B, scale=args.noise_scale), mesh)
     step = make_fleet_step(scfg, mesh=mesh)
 
-    t0 = time.perf_counter()
+    # Pre-stage all packets on device: per-step host->device uploads hide
+    # the actual step rate (each synchronous transfer costs ~30 ms through
+    # a tunneled device).
+    devs = [
+        shard_batch(broadcast_packets(to_device_packet(p), B), mesh)
+        for p in packets
+    ]
+    # Warm-up on the first packets (includes compile + map bootstrap);
+    # throughput is the steady-state rate.
     stats = None
-    for pkt in packets:
-        dev = shard_batch(broadcast_packets(to_device_packet(pkt), B), mesh)
+    n_warm = min(3, len(devs) - 1)
+    for dev in devs[:n_warm]:
+        carry, out, stats = step(carry, dev, bparams)
+    jax.block_until_ready(stats)
+
+    t0 = time.perf_counter()
+    for dev in devs[n_warm:]:
         carry, out, stats = step(carry, dev, bparams)
     jax.block_until_ready(stats)
     wall = time.perf_counter() - t0
+    n_timed = len(packets) - n_warm
     print(json.dumps({
-        "replicas": B, "devices": len(jax.devices()), "scans": len(packets),
+        "replicas": B, "devices": len(jax.devices()), "scans": n_timed,
         "wall_s": round(wall, 2),
-        "replica_scans_per_s": round(B * len(packets) / wall, 1),
+        "replica_scans_per_s": round(B * n_timed / wall, 1),
         "final_spread_m": float(stats.pos_spread),
     }))
     return 0
@@ -333,6 +349,10 @@ def main(argv=None) -> int:
     p_sw.add_argument("--duration", type=float, default=3.0)
     p_sw.add_argument("--replicas", type=int, default=None)
     p_sw.add_argument("--noise_scale", type=float, default=0.1)
+    p_sw.add_argument("--pipeline", default=None,
+                      choices=["sequential", "deferred"])
+    p_sw.add_argument("--pallas", action="store_true",
+                      help="deferred mode: fused Pallas kernels")
     p_sw.set_defaults(fn=cmd_sweep)
 
     p_ev = sub.add_parser("eval", help="ATE between two TUM trajectories")

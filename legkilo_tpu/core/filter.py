@@ -378,3 +378,19 @@ def process_scan(
         cloud_world=cloud,
     )
     return carry, out
+
+
+def process_scan_any(
+    carry: FilterCarry,
+    packet: ScanPacket,
+    params: FilterParams,
+    scfg: StaticConfig,
+) -> Tuple[FilterCarry, ScanOutput]:
+    """Dispatch on ``scfg.pipeline`` — the single entry point callers (and
+    the fleet vmap) should use so a config flips between the
+    reference-faithful rollout and the deferred fast path."""
+    if scfg.pipeline == "deferred":
+        from .filter_deferred import process_scan_deferred
+
+        return process_scan_deferred(carry, packet, params, scfg)
+    return process_scan(carry, packet, params, scfg)

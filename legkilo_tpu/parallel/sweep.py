@@ -3,7 +3,8 @@
 BASELINE.json's north star: thousands of batched bag replays / noise-
 parameter sweeps per step across chips and hosts, with fleet statistics
 reduced over ICI.  A replica is one full filter instance (state, covariance,
-its own voxel map); the per-scan step is ``vmap(process_scan)`` jitted with
+its own voxel map); the per-scan step is ``vmap(process_scan_any)`` (the
+configured pipeline — deferred fast path or reference-faithful) jitted with
 replica-sharded inputs — XLA partitions everything on the leading axis and
 inserts collectives only for the final statistics reductions.
 """
@@ -23,7 +24,7 @@ from ..core.filter import (
     ScanPacket,
     StaticConfig,
     init_carry,
-    process_scan,
+    process_scan_any,
 )
 from .mesh import REPLICA_AXIS
 
@@ -52,7 +53,7 @@ def make_fleet_step(scfg: StaticConfig, mesh=None, with_stats: bool = True):
     """
 
     def step(carry, packet, params):
-        carry, out = jax.vmap(process_scan, in_axes=(0, 0, 0, None))(
+        carry, out = jax.vmap(process_scan_any, in_axes=(0, 0, 0, None))(
             carry, packet, params, scfg
         )
         if with_stats:

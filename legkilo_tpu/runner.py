@@ -55,32 +55,40 @@ class ScanResult:
     cloud_world: Optional[np.ndarray] = None
 
 
+def make_static_config(
+    cfg: Config, use_kin=None, return_cloud: bool = False
+) -> StaticConfig:
+    """StaticConfig from a full Config (single construction point shared by
+    the runner, the fleet sweep, and tools)."""
+    return StaticConfig(
+        map_cfg=map_config_from(
+            cfg.voxel_map, use_pallas_refit=bool(cfg.tpu.use_pallas_refit)
+        ),
+        use_kin=(not cfg.only_imu_use) if use_kin is None else bool(use_kin),
+        dept_err=float(cfg.voxel_map.dept_err),
+        beam_err=float(cfg.voxel_map.beam_err),
+        map_sliding_en=bool(cfg.voxel_map.map_sliding_en),
+        sliding_thresh=float(cfg.voxel_map.sliding_thresh),
+        half_map_size=int(cfg.voxel_map.half_map_size),
+        return_cloud=return_cloud,
+        pipeline=cfg.tpu.pipeline,
+        use_pallas=bool(cfg.tpu.use_pallas),
+        use_pallas_match=bool(cfg.tpu.use_pallas_match),
+        insert_cap=max(0, int(cfg.tpu.insert_cap)),
+        match_cap=max(0, int(cfg.tpu.match_cap)),
+        chain_impl=cfg.tpu.chain_impl,
+        chain_unroll=max(1, int(cfg.tpu.chain_unroll)),
+        insert_reuse_probe=bool(cfg.tpu.insert_reuse_probe),
+    )
+
+
 class OdometryRunner:
     """Stateful replay engine around the pure jitted filter functions."""
 
     def __init__(self, cfg: Config, return_cloud: bool = False, dtype=jnp.float32):
         self.cfg = cfg
         self.dtype = dtype
-        self.scfg = StaticConfig(
-            map_cfg=map_config_from(
-                cfg.voxel_map, use_pallas_refit=bool(cfg.tpu.use_pallas_refit)
-            ),
-            use_kin=not cfg.only_imu_use,
-            dept_err=float(cfg.voxel_map.dept_err),
-            beam_err=float(cfg.voxel_map.beam_err),
-            map_sliding_en=bool(cfg.voxel_map.map_sliding_en),
-            sliding_thresh=float(cfg.voxel_map.sliding_thresh),
-            half_map_size=int(cfg.voxel_map.half_map_size),
-            return_cloud=return_cloud,
-            pipeline=cfg.tpu.pipeline,
-            use_pallas=bool(cfg.tpu.use_pallas),
-            use_pallas_match=bool(cfg.tpu.use_pallas_match),
-            insert_cap=max(0, int(cfg.tpu.insert_cap)),
-            match_cap=max(0, int(cfg.tpu.match_cap)),
-            chain_impl=cfg.tpu.chain_impl,
-            chain_unroll=max(1, int(cfg.tpu.chain_unroll)),
-            insert_reuse_probe=bool(cfg.tpu.insert_reuse_probe),
-        )
+        self.scfg = make_static_config(cfg, return_cloud=return_cloud)
         ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float64).reshape(3, 3)
         ext_t = np.asarray(cfg.extrinsic_T, dtype=np.float64)
         self.params = FilterParams(
