@@ -180,3 +180,19 @@ def test_hierarchical_mesh_single_host():
     mesh = hierarchical_mesh()
     assert mesh.devices.shape[0] == 1  # one host
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_dryrun_multichip_exercises_matching():
+    """The driver's multichip dryrun must run the full filter loop — map
+    bootstrap + chained scans so the match/point-update/insert/refit path
+    executes across all 8 devices (it asserts mean_matched > 0 itself)."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    try:
+        import __graft_entry__ as graft
+    finally:
+        sys.path.pop(0)
+    graft.dryrun_multichip(8)
