@@ -32,8 +32,9 @@ def main() -> None:
     # loads an executable whose parameter layouts disagree with the caller's
     # bookkeeping and the runtime throws async INVALID_ARGUMENT.
     mode = os.environ.get("LEGKILO_BENCH_LAYOUT", "pinned")
-    cache = "/root/repo/.jax_cache" if mode == "pinned" else (
-        "/root/repo/.jax_cache_nopin"
+    cache = os.environ.get("LEGKILO_BENCH_CACHE_DIR") or (
+        "/root/repo/.jax_cache" if mode == "pinned"
+        else "/root/repo/.jax_cache_nopin"
     )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -210,27 +211,74 @@ def main() -> None:
 
 
 def orchestrate() -> int:
-    """Try the pinned layout configuration, fall back to unpinned.
+    """Run the cache-stable unpinned attempt first, then opportunistically
+    try the (faster) pinned-layout attempt under a short timeout.
 
-    A failed pinned attempt can leave the (tunneled) TPU client with
-    poisoned in-flight buffers, so each attempt runs in its own process.
+    Rationale (docs/PERF_NOTES.md "Layout pinning"): the unpinned
+    configuration is stable on ANY compilation-cache state and its cache
+    (.jax_cache_nopin) is committed, so attempt 1 normally cache-hits and
+    emits a number in ~1-2 min.  The pinned configuration is ~0.7 ms/scan
+    faster but only works when its executable compiles fresh — from a stale
+    persistent cache the strict per-call layout check raises — so it runs
+    second, in its own subprocess (a failed pinned attempt poisons the TPU
+    client's in-flight buffers), against a throwaway cache dir, and only if
+    enough budget remains.  Exactly one JSON line is printed: the best
+    successful measurement.
     """
+    import shutil
     import subprocess
     import sys
+    import tempfile
 
-    last = ""
-    for mode in ("pinned", "unpinned"):
-        env = dict(os.environ, LEGKILO_BENCH_LAYOUT=mode)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=7200,
-        )
+    budget = float(os.environ.get("LEGKILO_BENCH_BUDGET_S", "1500"))
+    pinned_cap = float(os.environ.get("LEGKILO_BENCH_PINNED_TIMEOUT_S", "420"))
+    t0 = time.monotonic()
+
+    def attempt(mode: str, timeout_s: float, extra_env=None):
+        env = dict(os.environ, LEGKILO_BENCH_LAYOUT=mode, **(extra_env or {}))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            return None, f"{mode}: timeout after {timeout_s:.0f}s"
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if r.returncode == 0 and lines:
-            print(lines[-1])
-            return 0
-        last = r.stderr[-2000:]
-    print(last, file=sys.stderr)
+            try:
+                return json.loads(lines[-1]), ""
+            except json.JSONDecodeError:
+                return None, f"{mode}: unparsable output {lines[-1]!r}"
+        return None, f"{mode}: rc={r.returncode} stderr={r.stderr[-1500:]}"
+
+    errs = []
+    best, err = attempt("unpinned", max(120.0, budget - 60.0))
+    if err:
+        errs.append(err)
+
+    # Opportunistic pinned upgrade: fresh compile only (a matching stale
+    # cache entry would crash the call), so point it at a throwaway dir.
+    remaining = budget - (time.monotonic() - t0)
+    if remaining > pinned_cap + 30.0 or best is None:
+        tmp = tempfile.mkdtemp(prefix="jax_cache_pin_")
+        try:
+            pinned, err = attempt(
+                "pinned", min(pinned_cap, max(120.0, remaining - 30.0)),
+                extra_env={"LEGKILO_BENCH_CACHE_DIR": tmp},
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if err:
+            errs.append(err)
+        if pinned is not None and (
+            best is None or pinned["value"] < best["value"]
+        ):
+            best = pinned
+
+    if best is not None:
+        print(json.dumps(best))
+        return 0
+    print("; ".join(errs), file=sys.stderr)
     return 1
 
 

@@ -12,7 +12,6 @@ the compiled rollout: bucket/point padding, hash-table capacities, dtype.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Dict, List
 
 try:
@@ -314,8 +313,12 @@ def validate(cfg: Config) -> None:
         raise ValueError("layer_init_num must have at least max_layer+1 entries")
     if vm.voxel_size <= 0:
         raise ValueError("voxel_size must be positive")
-    if not math.log2(1 << vm.capacity_log2).is_integer():  # always true; guards type
-        raise ValueError("capacity_log2 invalid")
+    if not isinstance(vm.capacity_log2, int) or not 4 <= vm.capacity_log2 <= 26:
+        raise ValueError(
+            f"capacity_log2 must be an int in [4, 26], got {vm.capacity_log2!r}"
+        )
+    if not isinstance(vm.probe_length, int) or vm.probe_length < 1:
+        raise ValueError(f"probe_length must be a positive int, got {vm.probe_length!r}")
     if len(cfg.extrinsic_R) != 9 or len(cfg.extrinsic_T) != 3:
         raise ValueError("extrinsic_R must have 9 entries and extrinsic_T 3")
     if cfg.lidar.lidar_type not in (1, 2, 3):

@@ -132,6 +132,12 @@ class ScanOutput(NamedTuple):
     n_matched: jnp.ndarray     # [] int32  (success_pts_size analog)
     n_points: jnp.ndarray      # [] int32  (downsampled count)
     cloud_world: Optional[jnp.ndarray]  # [NB, P, 3] or None
+    # Overflow visibility (the reference has no fixed caps; ours must not
+    # drop silently): valid points beyond the deferred pipeline's
+    # match/insert compaction caps this scan, and the per-scan delta of the
+    # voxel map's [rowcap, refit-deferred, claim-failed] counters.
+    n_cap_dropped: Optional[jnp.ndarray] = None   # [] int32
+    map_overflow: Optional[jnp.ndarray] = None    # [3] int32
 
 
 def init_carry(scfg: StaticConfig, dtype=jnp.float32) -> FilterCarry:
@@ -326,6 +332,7 @@ def process_scan(
         step = jax.jit(process_scan, static_argnums=3)
     """
     kmax = packet.imu_time.shape[1]
+    ocnt0 = carry.vm.ocnt
 
     # Rebase carried clocks to this scan's begin time.
     carry = carry._replace(
@@ -376,6 +383,8 @@ def process_scan(
         n_matched=n_matched,
         n_points=jnp.sum(packet.point_mask.astype(jnp.int32)),
         cloud_world=cloud,
+        n_cap_dropped=jnp.zeros((), jnp.int32),
+        map_overflow=carry.vm.ocnt - ocnt0,
     )
     return carry, out
 

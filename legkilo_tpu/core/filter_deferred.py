@@ -535,8 +535,13 @@ def _process_scan_fused(
     bucket-layout path (equivalence covered by tests/test_eskf_fused.py and
     the cross-pipeline ATE tests)."""
     nb, p, _ = packet.points.shape
+    ocnt0 = carry.vm.ocnt
     cap = max(scfg.match_cap, scfg.insert_cap) or nb * p
     cap = min(cap, nb * p)
+    n_valid = jnp.sum(
+        (packet.point_mask & packet.bucket_mask[:, None]).astype(jnp.int32)
+    )
+    cap_dropped = jnp.maximum(0, n_valid - cap)
 
     if scfg.use_pallas_match and _pick_block(cap):
         s40, nmatch_b, aux = _match_compact_stats_pallas(
@@ -600,13 +605,14 @@ def _process_scan_fused(
         p_i = packet.points @ params.ext_r.T + params.ext_t
         cloud = jnp.einsum("bij,bpj->bpi", rots, p_i) + poss[:, None, :]
 
-    mask = packet.point_mask & packet.bucket_mask[:, None]
     out = ScanOutput(
         rot=carry.state.rot,
         pos=carry.state.pos,
         n_matched=jnp.sum(nmatch),
-        n_points=jnp.sum(mask.astype(jnp.int32)),
+        n_points=n_valid,
         cloud_world=cloud,
+        n_cap_dropped=cap_dropped,
+        map_overflow=carry.vm.ocnt - ocnt0,
     )
     return carry, out
 
@@ -630,6 +636,7 @@ def process_scan_deferred(
         # the single fused Pallas kernel over the same sufficient statistics.
         return _process_scan_fused(carry, packet, params, scfg)
 
+    ocnt0 = carry.vm.ocnt
     p_i, normal, center, r_meas, matched, crossmat = _batched_match(
         carry, packet, params, scfg
     )
@@ -686,11 +693,19 @@ def process_scan_deferred(
             last_slide_pos=jnp.where(trigger, carry.state.pos, carry.last_slide_pos),
         )
 
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    caps = [c for c in (scfg.match_cap, scfg.insert_cap) if c and c < nb * p]
+    cap_dropped = (
+        jnp.maximum(0, n_valid - min(caps)) if caps
+        else jnp.zeros((), jnp.int32)
+    )
     out = ScanOutput(
         rot=carry.state.rot,
         pos=carry.state.pos,
         n_matched=jnp.sum(nmatch),
-        n_points=jnp.sum(mask.astype(jnp.int32)),
+        n_points=n_valid,
         cloud_world=p_w if scfg.return_cloud else None,
+        n_cap_dropped=cap_dropped,
+        map_overflow=carry.vm.ocnt - ocnt0,
     )
     return carry, out

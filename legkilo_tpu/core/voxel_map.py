@@ -123,6 +123,14 @@ class VoxelMap(NamedTuple):
     meta: jnp.ndarray   # [L, C, META_DIM]
     mom: jnp.ndarray    # [L, C, MOM_DIM]
     plane: jnp.ndarray  # [L, C, PLANE_DIM]
+    # [3] int32 cumulative overflow counters — indexed by OCNT_ROWCAP
+    # (insert rows dropped by insert_row_cap), OCNT_REFIT (refits deferred
+    # past refit_budget; these retry on a later scan — deferral, not loss),
+    # OCNT_CLAIM (valid rows whose slot claim failed: probe chain / table
+    # capacity exhausted).  Silent-cap visibility: the reference has no
+    # caps (unbounded std::unordered_map), so any nonzero counter marks a
+    # TPU-build capacity knob that needs raising for the workload.
+    ocnt: jnp.ndarray
 
     # Unpacked views (read-only convenience for tests/tools).
     @property
@@ -238,6 +246,14 @@ def _unpack_moments(rows: jnp.ndarray, n: jnp.ndarray) -> PlaneMoments:
     return PlaneMoments(n=n, m1=rows[..., 0:3], m2=m2, s0=s0, s1=s1, s2=s2)
 
 
+OCNT_ROWCAP, OCNT_REFIT, OCNT_CLAIM = 0, 1, 2
+
+
+def _ocnt_inc(rowcap=0, refit=0, claim=0) -> jnp.ndarray:
+    parts = [rowcap, refit, claim]
+    return jnp.stack([jnp.asarray(p, jnp.int32) for p in parts])
+
+
 def make_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelMap:
     L, C = cfg.levels, cfg.capacity
     return VoxelMap(
@@ -245,6 +261,7 @@ def make_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelMap:
         meta=jnp.zeros((L, C, META_DIM), dtype=dtype),
         mom=jnp.zeros((L, C, MOM_DIM), dtype=dtype),
         plane=jnp.zeros((L, C, PLANE_DIM), dtype=dtype),
+        ocnt=jnp.zeros((3,), dtype=jnp.int32),
     )
 
 
@@ -463,6 +480,7 @@ def insert_points(
         vm, cfg, ptab_flat,
         jnp.tile(p_w, (L, 1)), jnp.tile(var, (L, 1, 1)),
         keys, lvl_ids, slot, ok,
+        ocnt_inc=_ocnt_inc(claim=jnp.sum((mask_f & ~ok).astype(jnp.int32))),
     )
 
 
@@ -557,8 +575,13 @@ def insert_points_hinted(
 
         n_new = jnp.sum(need.astype(jnp.int32))
         ptab_flat, slot, ok = jax.lax.cond(n_new <= cap, fast, slow, ptab_flat)
+        n_gated = jnp.sum(gate_f.astype(jnp.int32))
         return _insert_finish(
-            vm, cfg, ptab_flat, p_w_r, var_r, keys_r, lvl_r, slot, ok
+            vm, cfg, ptab_flat, p_w_r, var_r, keys_r, lvl_r, slot, ok,
+            ocnt_inc=_ocnt_inc(
+                rowcap=jnp.maximum(0, n_gated - R),
+                claim=jnp.sum((mask_r & ~ok).astype(jnp.int32)),
+            ),
         )
 
     slot0 = jnp.where(found_f, own_slot.reshape(L * N), miss)
@@ -584,6 +607,7 @@ def insert_points_hinted(
         vm, cfg, ptab_flat,
         jnp.tile(p_w, (L, 1)), jnp.tile(var, (L, 1, 1)),
         keys, lvl_ids, slot, ok,
+        ocnt_inc=_ocnt_inc(claim=jnp.sum((mask_f & ~ok).astype(jnp.int32))),
     )
 
 
@@ -597,6 +621,7 @@ def _insert_finish(
     lvl_ids: jnp.ndarray,  # [R]
     slot: jnp.ndarray,     # [R] resolved global slots (miss = dropped)
     ok: jnp.ndarray,       # [R]
+    ocnt_inc: jnp.ndarray = None,  # [3] int32 caller-side overflow counts
 ) -> VoxelMap:
     """Moment accumulation, threshold logic, and budgeted refit —
     everything in insert_points after slot resolution.  Rows are
@@ -704,11 +729,18 @@ def _insert_finish(
         (meta_fit[:, _M_PLANE] > 0.5).astype(jnp.int32), mode="drop"
     )
 
+    n_refit_unique = jnp.sum(first.astype(jnp.int32))
+    inc = _ocnt_inc(
+        refit=jnp.maximum(0, n_refit_unique - cfg.refit_budget)
+    )
+    if ocnt_inc is not None:
+        inc = inc + ocnt_inc
     return vm._replace(
         ptab=ptab_flat.reshape(L, C, PTAB_DIM),
         meta=meta_flat.reshape(L, C, META_DIM),
         mom=mom_flat.reshape(L, C, MOM_DIM),
         plane=plane_flat.reshape(L, C, PLANE_DIM),
+        ocnt=vm.ocnt + inc,
     )
 
 

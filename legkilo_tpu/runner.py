@@ -206,6 +206,19 @@ class OdometryRunner:
                 "packet overflow: dropped %d points, %d events",
                 pkt.dropped_points, pkt.dropped_events,
             )
+        n_capped = int(out.n_cap_dropped) if out.n_cap_dropped is not None else 0
+        if n_capped:
+            log.warning(
+                "cap overflow: %d valid points beyond match/insert cap "
+                "(raise tpu_match_cap/tpu_insert_cap)", n_capped,
+            )
+        mo = out.map_overflow
+        if mo is not None and (int(mo[0]) or int(mo[2])):
+            log.warning(
+                "map overflow: %d insert rows beyond insert_row_cap, "
+                "%d slot claims failed (raise tpu_map_insert_row_cap / "
+                "tpu_map_capacity_log2)", int(mo[0]), int(mo[2]),
+            )
         return ScanResult(
             time=pkt.end_time,
             rot=out.rot,

@@ -127,3 +127,59 @@ def test_ancestor_gated_insert_close_to_ungated(simdata):
     n = min(len(pu), len(pg))
     diff = np.linalg.norm(pu[:n] - pg[:n], axis=-1)
     assert diff.max() < 0.05, f"max gated/ungated divergence {diff.max():.3f} m"
+
+
+def test_cap_overflow_is_counted_not_silent(simdata):
+    """Overflowing match/insert caps and insert_row_cap must surface as
+    nonzero counters (VERDICT weak #5: the reference has no caps, so any
+    capped drop in the TPU build needs visibility)."""
+    import jax
+    import jax.numpy as jnp
+    from legkilo_tpu.core import eskf as eskf_mod
+    from legkilo_tpu.core.filter import FilterParams, StaticConfig, init_carry
+    from legkilo_tpu.core.filter_deferred import process_scan_deferred
+    from legkilo_tpu.core.voxel_map import OCNT_ROWCAP, map_config_from
+    from legkilo_tpu.io.dataset import PacketBuilder, to_device_packet
+
+    cfg = make_config("deferred")
+    cfg.voxel_map.insert_row_cap = 64   # far below the gated row count
+    builder = PacketBuilder(cfg)
+    for ev in simdata.imu:
+        builder.add_imu(ev)
+    packets = []
+    for scan in simdata.scans[:4]:
+        builder.add_scan(scan)
+        while builder.ready():
+            packets.append(builder.pop())
+    scfg = StaticConfig(
+        map_cfg=map_config_from(cfg.voxel_map), use_kin=False,
+        dept_err=cfg.voxel_map.dept_err, beam_err=cfg.voxel_map.beam_err,
+        pipeline="deferred", insert_cap=128, match_cap=128,
+    )
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(cfg.eskf),
+        ext_r=jnp.eye(3), ext_t=jnp.asarray([0.0, 0.0, 0.2]),
+        g_over_acc_norm=jnp.asarray(1.0),
+    )
+    carry = init_carry(scfg)
+    step = jax.jit(process_scan_deferred, static_argnums=3)
+    total_capped = 0
+    for pkt in packets[:3]:
+        carry, out = step(carry, to_device_packet(pkt), params, scfg)
+        total_capped += int(out.n_cap_dropped)
+    assert total_capped > 0, "cap overflow was not counted"
+    assert int(carry.vm.ocnt[OCNT_ROWCAP]) > 0, "row-cap overflow not counted"
+    assert int(out.map_overflow[OCNT_ROWCAP]) > 0, "per-scan delta missing"
+
+    # And with generous caps the counters stay zero.
+    cfg2 = make_config("deferred")
+    scfg2 = StaticConfig(
+        map_cfg=map_config_from(cfg2.voxel_map), use_kin=False,
+        dept_err=cfg2.voxel_map.dept_err, beam_err=cfg2.voxel_map.beam_err,
+        pipeline="deferred",
+    )
+    carry2 = init_carry(scfg2)
+    for pkt in packets[:3]:
+        carry2, out2 = step(carry2, to_device_packet(pkt), params, scfg2)
+    assert int(out2.n_cap_dropped) == 0
+    assert int(carry2.vm.ocnt[OCNT_ROWCAP]) == 0
