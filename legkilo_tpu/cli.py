@@ -40,6 +40,9 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     cfg = _load_config(args.config_file)
     runner = OdometryRunner(cfg, return_cloud=bool(args.save_pcd))
+    if args.resume:
+        step = runner.load_checkpoint(args.resume)
+        log.info("Resumed from %s at step %d", args.resume, step)
     kin = Kinematics(cfg.kinematics)
     writer = TrajectoryWriter(args.traj_out) if args.traj_out else None
     pcd = None
@@ -111,6 +114,9 @@ def cmd_run(args: argparse.Namespace) -> int:
         writer.close()
     if pcd is not None:
         pcd.close()
+    if args.save_ckpt:
+        path = runner.save_checkpoint(args.save_ckpt)
+        log.info("Saved checkpoint to %s", path)
     if args.export_planes:
         from .io.plane_export import export_plane_map
 
@@ -140,8 +146,21 @@ def cmd_sim(args: argparse.Namespace) -> int:
         sim_mod.SimConfig(duration=args.duration, scan_points=args.scan_points)
     )
     events = data.imu if cfg.only_imu_use else data.kin
+    scans = data.scans
+    if args.resume and args.skip_scans:
+        # Continue a checkpointed run: drop already-processed scans and the
+        # events the checkpoint consumed (buffered in-between events are
+        # restored from the checkpoint itself; feeding earlier ones would
+        # trip the packetizer's time-regression cache clear).
+        scans = scans[args.skip_scans:]
+        with np.load(args.resume) as d:
+            let = float(d["x_last_event_time"])
+        events = [e for e in events if e.time > let]
     t0 = time.perf_counter()
-    results = run_offline(cfg, data.scans, events)
+    results = run_offline(
+        cfg, scans, events,
+        resume=args.resume, save_ckpt=args.save_ckpt,
+    )
     wall = time.perf_counter() - t0
 
     est_t = np.array([r.time for r in results])
@@ -331,6 +350,10 @@ def main(argv=None) -> int:
         "--export_planes", default=None,
         help="write the voxel plane map as a colored PLY mesh",
     )
+    p_run.add_argument("--save_ckpt", default=None,
+                       help="write a filter checkpoint (.npz) at stream end")
+    p_run.add_argument("--resume", default=None,
+                       help="restore a checkpoint before replay")
     p_run.set_defaults(fn=cmd_run)
 
     p_sim = sub.add_parser("sim", help="synthetic end-to-end replay")
@@ -342,6 +365,13 @@ def main(argv=None) -> int:
                        choices=["sequential", "deferred"])
     p_sim.add_argument("--pallas", action="store_true",
                        help="deferred mode: use the fused Pallas ESKF chain")
+    p_sim.add_argument("--save_ckpt", default=None,
+                       help="write a filter checkpoint (.npz) at stream end")
+    p_sim.add_argument("--resume", default=None,
+                       help="restore a checkpoint before replay")
+    p_sim.add_argument("--skip_scans", type=int, default=0,
+                       help="with --resume: skip the first N (already "
+                            "processed) scans and their events")
     p_sim.set_defaults(fn=cmd_sim)
 
     p_sw = sub.add_parser("sweep", help="Monte-Carlo fleet replay")

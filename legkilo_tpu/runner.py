@@ -190,6 +190,85 @@ class OdometryRunner:
             g[0], g[1], g[2], float(acc_norm),
         )
 
+    # -- checkpoint / resume -------------------------------------------------
+    def save_checkpoint(self, path: str) -> str:
+        """Snapshot the complete resumable state at a scan boundary: the
+        device carry (state, covariance, clocks, voxel map) plus the
+        host-side pieces — init-derived gravity scale, packetizer clocks,
+        and any sensor events buffered past the last emitted scan.
+
+        The reference cannot checkpoint (pointer octrees; SURVEY.md §5);
+        this is an intentional capability extension."""
+        from .io import checkpoint as ckpt
+
+        b = self.builder
+        extras = {
+            "g_over_acc_norm": np.asarray(self.params.g_over_acc_norm),
+            "initialized": np.asarray(int(self.initialized)),
+            "use_kin": np.asarray(int(b.use_kin)),
+            "last_begin": np.asarray(
+                np.nan if b._last_begin is None else b._last_begin
+            ),
+            "last_event_time": np.asarray(b._last_event_time),
+            "last_scan_time": np.asarray(b._last_scan_time),
+        }
+        if b._events:
+            evs = b._events
+            extras["ev_time"] = np.asarray([e.time for e in evs])
+            extras["ev_acc"] = np.stack([np.asarray(e.acc) for e in evs])
+            extras["ev_gyr"] = np.stack([np.asarray(e.gyr) for e in evs])
+            if b.use_kin:
+                extras["ev_foot_pos"] = np.stack([e.foot_pos for e in evs])
+                extras["ev_foot_vel"] = np.stack([e.foot_vel for e in evs])
+                extras["ev_contact"] = np.stack([e.contact for e in evs])
+        if b._scans:
+            log.warning(
+                "checkpoint taken with %d pending (incomplete) scans; "
+                "they are not saved — re-feed them after resume",
+                len(b._scans),
+            )
+        return ckpt.save(path, self.carry, step=len(self.results), extras=extras)
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restore a save_checkpoint snapshot; returns the step count at
+        save time.  Feed the sensor stream from the next scan onward."""
+        from .io import checkpoint as ckpt
+        from .io.dataset import ImuEvent, KinImuEvent
+
+        carry, step, extras = ckpt.load(path, self.carry)
+        self.carry = carry
+        self.params = self.params._replace(
+            g_over_acc_norm=jnp.asarray(
+                float(extras["g_over_acc_norm"]), dtype=self.dtype
+            )
+        )
+        self.initialized = bool(int(extras["initialized"]))
+        b = self.builder
+        if bool(int(extras["use_kin"])) != b.use_kin:
+            raise ValueError("checkpoint kinematic mode != config mode")
+        lb = float(extras["last_begin"])
+        b._last_begin = None if np.isnan(lb) else lb
+        b._last_scan_time = float(extras["last_scan_time"])
+        events = []
+        if "ev_time" in extras:
+            for i, t in enumerate(extras["ev_time"]):
+                if b.use_kin:
+                    events.append(KinImuEvent(
+                        time=float(t), acc=extras["ev_acc"][i],
+                        gyr=extras["ev_gyr"][i],
+                        foot_pos=extras["ev_foot_pos"][i],
+                        foot_vel=extras["ev_foot_vel"][i],
+                        contact=extras["ev_contact"][i],
+                    ))
+                else:
+                    events.append(ImuEvent(
+                        time=float(t), acc=extras["ev_acc"][i],
+                        gyr=extras["ev_gyr"][i],
+                    ))
+        b._events = events
+        b._last_event_time = float(extras["last_event_time"])
+        return step or 0
+
     def _events_from_packet(self, pkt: HostPacket):
         m = pkt.imu_mask
         if not m.any():
@@ -235,9 +314,18 @@ def run_offline(
     scans: Sequence[RawScan],
     events: Sequence,
     return_cloud: bool = False,
+    resume: Optional[str] = None,
+    save_ckpt: Optional[str] = None,
 ) -> List[ScanResult]:
-    """Replay pre-loaded streams through the filter (dataset/sim replay)."""
+    """Replay pre-loaded streams through the filter (dataset/sim replay).
+
+    ``resume`` restores a checkpoint before replay (feed only scans/events
+    after the checkpointed scan; buffered in-between events are restored
+    from the checkpoint itself); ``save_ckpt`` snapshots at stream end."""
     runner = OdometryRunner(cfg, return_cloud=return_cloud)
+    if resume:
+        step = runner.load_checkpoint(resume)
+        log.info("Resumed from %s at step %d", resume, step)
     use_kin = not cfg.only_imu_use
     ev_iter = iter(sorted(events, key=lambda e: e.time))
     pending = next(ev_iter, None)
@@ -252,4 +340,7 @@ def run_offline(
             pending = next(ev_iter, None)
         runner.add_scan(scan)
         runner._drain()
+    if save_ckpt:
+        path = runner.save_checkpoint(save_ckpt)
+        log.info("Saved checkpoint to %s", path)
     return runner.results

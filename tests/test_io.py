@@ -94,9 +94,13 @@ def test_checkpoint_roundtrip(tmp_path):
         cov=carry.cov + 0.123,
         vm=carry.vm._replace(meta=carry.vm.meta.at[0, 3, 0].set(7.0)),
     )
-    path = checkpoint.save(str(tmp_path / "ckpt"), carry, step=42)
-    restored, step = checkpoint.load(path, init_carry(scfg))
+    path = checkpoint.save(
+        str(tmp_path / "ckpt"), carry, step=42,
+        extras={"g_over_acc_norm": np.asarray(1.25)},
+    )
+    restored, step, extras = checkpoint.load(path, init_carry(scfg))
     assert step == 42
+    assert float(extras["g_over_acc_norm"]) == 1.25
     np.testing.assert_allclose(np.asarray(restored.cov), np.asarray(carry.cov))
     assert float(restored.vm.meta[0, 3, 0]) == 7.0
 
@@ -108,3 +112,41 @@ def test_checkpoint_roundtrip(tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_resume_equivalence(tmp_path):
+    """Run N scans == run k scans, checkpoint, resume, run N-k: the resumed
+    trajectory tail must match the uninterrupted run (VERDICT item 7)."""
+    from legkilo_tpu.config import Config
+    from legkilo_tpu.models import sim
+    from legkilo_tpu.runner import run_offline
+
+    cfg = Config()
+    cfg.only_imu_use = True
+    cfg.lidar.filter_num = 1
+    cfg.lidar.blind = 0.3
+    cfg.voxel_map.capacity_log2 = 12
+    cfg.tpu.max_buckets = 32
+    cfg.tpu.max_points_per_bucket = 64
+    cfg.tpu.max_imu_per_bucket = 3
+    cfg.tpu.pipeline = "deferred"
+
+    data = sim.simulate(sim.SimConfig(duration=3.0, scan_points=1500, seed=11))
+    full = run_offline(cfg, data.scans, data.imu)
+
+    k = 12
+    path = str(tmp_path / "resume_ckpt")
+    head = run_offline(cfg, data.scans[:k], data.imu, save_ckpt=path)
+    assert len(head) == k
+
+    with np.load(path + ".npz") as d:
+        last_event_time = float(d["x_last_event_time"])
+    tail_events = [e for e in data.imu if e.time > last_event_time]
+    tail = run_offline(cfg, data.scans[k:], tail_events, resume=path + ".npz")
+
+    assert len(head) + len(tail) == len(full)
+    for r_full, r_res in zip(full[k:], tail):
+        assert r_full.time == r_res.time
+        np.testing.assert_allclose(r_full.pos, r_res.pos, atol=1e-6)
+        np.testing.assert_allclose(r_full.rot, r_res.rot, atol=1e-6)
+        assert r_full.n_matched == r_res.n_matched
