@@ -109,7 +109,7 @@ def cmd_run(args: argparse.Namespace) -> int:
                 if writer:
                     writer.write(r.time, r.rot, r.pos)
                 if pcd is not None and r.cloud_world is not None:
-                    pcd.save(r.cloud_world.reshape(-1, 3))
+                    pcd.save(r.cloud_world, intensity=r.intensity)
     if writer:
         writer.close()
     if pcd is not None:

@@ -75,19 +75,30 @@ class HostPacket:
     n_raw: int = 0               # raw cloud size (for logging parity)
     dropped_points: int = 0      # overflow diagnostics
     dropped_events: int = 0
+    # [NB, P] per-point intensity (host-side only: the filter never reads
+    # it; the PCD export pairs it with the world cloud — pcd_saver.hpp /
+    # PointXYZINormal parity, lidar_processing.cc:46).
+    intensity: Optional[np.ndarray] = None
 
 
 def decimate_blind(
     points: np.ndarray, time_offset: np.ndarray, filter_num: int, blind: float,
     intensity: Optional[np.ndarray] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """1/filter_num decimation + blind-radius removal
-    (lidar_processing.cc:40-41, blindCheck lidar_processing.h:95-98)."""
+    (lidar_processing.cc:40-41, blindCheck lidar_processing.h:95-98).
+
+    Intensity (when present) rides along like the reference's
+    PointXYZINormal carries it (lidar_processing.cc:46)."""
     n = len(points)
     keep = np.zeros(n, dtype=bool)
     keep[::filter_num] = True
     keep &= np.einsum("ij,ij->i", points, points) > blind * blind
-    return points[keep], time_offset[keep]
+    return (
+        points[keep],
+        time_offset[keep],
+        intensity[keep] if intensity is not None else None,
+    )
 
 
 def quantize_times(
@@ -105,15 +116,17 @@ def quantize_times(
 
 
 def voxel_downsample(
-    points: np.ndarray, time_offset: np.ndarray, leaf: float
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Centroid voxel-grid downsample, averaging positions AND times.
+    points: np.ndarray, time_offset: np.ndarray, leaf: float,
+    intensity: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Centroid voxel-grid downsample, averaging positions AND times (and
+    intensity when present).
 
     Parity: pcl::VoxelGrid with downsample_all_data (KILO.cc:356-360) — the
-    centroid's time is the mean member time, which is why bucket times must
-    be re-quantized afterwards (see build_packet)."""
+    centroid's time/intensity is the mean member value, which is why bucket
+    times must be re-quantized afterwards (see build_packet)."""
     if len(points) == 0:
-        return points, time_offset
+        return points, time_offset, intensity
     keys = np.floor(points / leaf).astype(np.int64)
     # Pack 3 x int21 into one int64 for fast unique.
     packed = (
@@ -123,11 +136,19 @@ def voxel_downsample(
     )
     uniq, inv = np.unique(packed, return_inverse=True)
     m = len(uniq)
-    sums = np.zeros((m, 4))
-    np.add.at(sums, inv, np.concatenate([points, time_offset[:, None]], axis=1))
+    cols = [points, time_offset[:, None]]
+    if intensity is not None:
+        cols.append(intensity[:, None])
+    w = np.concatenate(cols, axis=1)
+    sums = np.zeros((m, w.shape[1]))
+    np.add.at(sums, inv, w)
     counts = np.bincount(inv, minlength=m).astype(np.float64)
     cent = sums / counts[:, None]
-    return cent[:, 0:3].astype(np.float32), cent[:, 3].astype(np.float32)
+    return (
+        cent[:, 0:3].astype(np.float32),
+        cent[:, 3].astype(np.float32),
+        cent[:, 4].astype(np.float32) if intensity is not None else None,
+    )
 
 
 class PacketBuilder:
@@ -201,17 +222,21 @@ class PacketBuilder:
                 scan.points, scan.time_offset,
                 cfg.lidar.filter_num, cfg.lidar.blind,
                 cfg.lidar.voxel_grid_resolution, cfg.tpu.requantize_buckets,
-                self.nb, self.pmax,
+                self.nb, self.pmax, intensity=scan.intensity,
             )
         if native_out is not None:
-            bucket_time, bucket_mask, points, point_mask, _, dropped_points = native_out
+            (bucket_time, bucket_mask, points, point_mask, _, dropped_points,
+             intens) = native_out
             n_buckets = int(bucket_mask.sum())
         else:
-            pts, toff = decimate_blind(
-                scan.points, scan.time_offset, cfg.lidar.filter_num, cfg.lidar.blind
+            pts, toff, inten = decimate_blind(
+                scan.points, scan.time_offset, cfg.lidar.filter_num,
+                cfg.lidar.blind, intensity=scan.intensity,
             )
             toff = quantize_times(toff, quantum)
-            pts, toff = voxel_downsample(pts, toff, cfg.lidar.voxel_grid_resolution)
+            pts, toff, inten = voxel_downsample(
+                pts, toff, cfg.lidar.voxel_grid_resolution, inten
+            )
             if cfg.tpu.requantize_buckets:
                 # Snap averaged centroid times back to the bucket grid so the
                 # bucket count stays ~scan_duration/quantum instead of
@@ -220,6 +245,8 @@ class PacketBuilder:
 
             order = np.argsort(toff, kind="stable")
             pts, toff = pts[order], toff[order]
+            if inten is not None:
+                inten = inten[order]
             b_times, b_start = np.unique(toff, return_index=True)
             n_buckets = len(b_times)
             dropped_points = 0
@@ -228,6 +255,8 @@ class PacketBuilder:
                 cut = b_start[self.nb]
                 dropped_points += len(pts) - cut
                 pts, toff = pts[:cut], toff[:cut]
+                if inten is not None:
+                    inten = inten[:cut]
                 b_times, b_start = b_times[: self.nb], b_start[: self.nb]
                 n_buckets = self.nb
             b_end = np.append(b_start[1:], len(pts))
@@ -236,6 +265,10 @@ class PacketBuilder:
             point_mask = np.zeros((self.nb, self.pmax), dtype=bool)
             bucket_time = np.zeros(self.nb, dtype=np.float32)
             bucket_mask = np.zeros(self.nb, dtype=bool)
+            intens = (
+                np.zeros((self.nb, self.pmax), dtype=np.float32)
+                if inten is not None else None
+            )
             for i in range(n_buckets):
                 s, e = b_start[i], b_end[i]
                 cnt = e - s
@@ -243,6 +276,8 @@ class PacketBuilder:
                     dropped_points += cnt - self.pmax
                     cnt = self.pmax
                 points[i, :cnt] = pts[s : s + cnt]
+                if intens is not None:
+                    intens[i, :cnt] = inten[s : s + cnt]
                 point_mask[i, :cnt] = True
                 bucket_time[i] = b_times[i]
                 bucket_mask[i] = True
@@ -299,6 +334,7 @@ class PacketBuilder:
             n_raw=len(scan.points),
             dropped_points=int(dropped_points),
             dropped_events=int(dropped_events),
+            intensity=intens,
         )
 
 

@@ -35,9 +35,9 @@ def _lib() -> Optional[ctypes.CDLL]:
     i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
     lib.scanprep_process.restype = ctypes.c_int
     lib.scanprep_process.argtypes = [
-        f32p, f32p, ctypes.c_int,
+        f32p, f32p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-        f32p, u8p, f32p, u8p,
+        f32p, u8p, f32p, u8p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, i32p,
     ]
     lib.scanprep_decimate_blind.restype = ctypes.c_int
@@ -61,10 +61,14 @@ def process_scan(
     requantize: bool,
     nb: int,
     pmax: int,
-) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]]:
+    intensity: Optional[np.ndarray] = None,  # [N] float32
+) -> Optional[Tuple[
+    np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int,
+    Optional[np.ndarray],
+]]:
     """Native decimate/downsample/bucketize.  Returns
-    (bucket_time, bucket_mask, points, point_mask, n_down, dropped) or None
-    if the library is unavailable."""
+    (bucket_time, bucket_mask, points, point_mask, n_down, dropped,
+    intensity_or_None) or None if the library is unavailable."""
     lib = _lib()
     if lib is None:
         return None
@@ -75,15 +79,23 @@ def process_scan(
     out_pts = np.zeros((nb, pmax, 3), dtype=np.float32)
     point_mask = np.zeros((nb, pmax), dtype=np.uint8)
     counts = np.zeros(3, dtype=np.int32)
+    if intensity is not None:
+        inten = np.ascontiguousarray(intensity, dtype=np.float32)
+        out_inten = np.zeros((nb, pmax), dtype=np.float32)
+        inten_p = inten.ctypes.data_as(ctypes.c_void_p)
+        out_inten_p = out_inten.ctypes.data_as(ctypes.c_void_p)
+    else:
+        inten = out_inten = None
+        inten_p = out_inten_p = None
     lib.scanprep_process(
-        pts, toff, len(pts),
+        pts, toff, inten_p, len(pts),
         int(filter_num), float(blind), float(leaf), int(requantize),
-        bucket_time, bucket_mask, out_pts, point_mask,
+        bucket_time, bucket_mask, out_pts, point_mask, out_inten_p,
         int(nb), int(pmax), counts,
     )
     return (
         bucket_time, bucket_mask.astype(bool), out_pts,
-        point_mask.astype(bool), int(counts[0]), int(counts[1]),
+        point_mask.astype(bool), int(counts[0]), int(counts[1]), out_inten,
     )
 
 

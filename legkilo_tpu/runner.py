@@ -52,7 +52,8 @@ class ScanResult:
     n_matched: int
     n_points: int
     n_raw: int
-    cloud_world: Optional[np.ndarray] = None
+    cloud_world: Optional[np.ndarray] = None  # [M, 3] valid points only
+    intensity: Optional[np.ndarray] = None    # [M] aligned with cloud_world
 
 
 def make_static_config(
@@ -171,7 +172,7 @@ class OdometryRunner:
         )
         # Map from the decimated+blind-filtered raw cloud (KILO.cc:336-339
         # builds from cloud_raw, i.e. LidarProcessing output, undownsampled).
-        pts, _ = decimate_blind(
+        pts, _, _ = decimate_blind(
             scan.points, scan.time_offset,
             self.cfg.lidar.filter_num, self.cfg.lidar.blind,
         )
@@ -298,6 +299,15 @@ class OdometryRunner:
                 "%d slot claims failed (raise tpu_map_insert_row_cap / "
                 "tpu_map_capacity_log2)", int(mo[0]), int(mo[2]),
             )
+        cloud = intensity = None
+        if out.cloud_world is not None:
+            # Compact to valid rows; intensity rides along in the same order
+            # (the reference's registered world cloud is PointXYZINormal,
+            # pcd_saver.hpp / lidar_processing.cc:46).
+            m = (pkt.point_mask & pkt.bucket_mask[:, None]).reshape(-1)
+            cloud = np.asarray(out.cloud_world).reshape(-1, 3)[m]
+            if pkt.intensity is not None:
+                intensity = pkt.intensity.reshape(-1)[m]
         return ScanResult(
             time=pkt.end_time,
             rot=out.rot,
@@ -305,7 +315,8 @@ class OdometryRunner:
             n_matched=int(out.n_matched),
             n_points=int(out.n_points),
             n_raw=pkt.n_raw,
-            cloud_world=out.cloud_world,
+            cloud_world=cloud,
+            intensity=intensity,
         )
 
 

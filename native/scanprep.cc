@@ -23,7 +23,7 @@
 namespace {
 
 struct VoxelAccum {
-    double x = 0, y = 0, z = 0, t = 0;
+    double x = 0, y = 0, z = 0, t = 0, inten = 0;
     int64_t count = 0;
 };
 
@@ -39,21 +39,27 @@ extern "C" {
 // Returns the number of buckets written (<= nb).  out_counts[0] = points
 // after decimation/blind/downsample, out_counts[1] = dropped points
 // (bucket/point-capacity overflow), out_counts[2] = raw input count.
+// intens / out_intens may be NULL; when given, per-point intensity is
+// centroid-averaged alongside position/time (pcl::VoxelGrid
+// downsample_all_data parity; carried by PointXYZINormal in the reference,
+// lidar_processing.cc:46).
 int scanprep_process(
-    const float* pts, const float* toff, int n,
+    const float* pts, const float* toff, const float* intens, int n,
     int filter_num, float blind, float leaf, int requantize,
     float* bucket_time, unsigned char* bucket_mask,
-    float* points, unsigned char* point_mask,
+    float* points, unsigned char* point_mask, float* out_intens,
     int nb, int pmax,
     int* out_counts) {
     const float blind2 = blind * blind;
+    const bool has_i = intens != nullptr && out_intens != nullptr;
 
     // 1) decimate + blind filter + 2 ms quantization.
-    std::vector<float> px, py, pz, pt;
+    std::vector<float> px, py, pz, pt, pi;
     px.reserve(n / filter_num + 1);
     py.reserve(n / filter_num + 1);
     pz.reserve(n / filter_num + 1);
     pt.reserve(n / filter_num + 1);
+    if (has_i) pi.reserve(n / filter_num + 1);
     for (int i = 0; i < n; i += filter_num) {
         const float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
         if (x * x + y * y + z * z <= blind2) continue;
@@ -61,6 +67,7 @@ int scanprep_process(
         py.push_back(y);
         pz.push_back(z);
         pt.push_back(std::round(toff[i] * 500.0f) / 500.0f);
+        if (has_i) pi.push_back(intens[i]);
     }
 
     // 2) centroid voxel-grid downsample (position + time averaged).
@@ -76,11 +83,12 @@ int scanprep_process(
         a.y += py[i];
         a.z += pz[i];
         a.t += pt[i];
+        if (has_i) a.inten += pi[i];
         a.count++;
     }
 
     struct P {
-        float x, y, z, t;
+        float x, y, z, t, inten;
     };
     std::vector<P> down;
     down.reserve(grid.size());
@@ -89,7 +97,8 @@ int scanprep_process(
         float t = (float)(a.t / a.count);
         if (requantize) t = std::round(t * 500.0f) / 500.0f;
         down.push_back({(float)(a.x / a.count), (float)(a.y / a.count),
-                        (float)(a.z / a.count), t});
+                        (float)(a.z / a.count), t,
+                        has_i ? (float)(a.inten / a.count) : 0.0f});
     }
 
     // 3) stable sort by quantized time.
@@ -101,6 +110,7 @@ int scanprep_process(
     std::memset(point_mask, 0, (size_t)nb * pmax);
     std::memset(bucket_time, 0, sizeof(float) * nb);
     std::memset(points, 0, sizeof(float) * 3 * (size_t)nb * pmax);
+    if (has_i) std::memset(out_intens, 0, sizeof(float) * (size_t)nb * pmax);
 
     int bucket = -1;
     int fill = 0;
@@ -126,6 +136,7 @@ int scanprep_process(
         dst[0] = p.x;
         dst[1] = p.y;
         dst[2] = p.z;
+        if (has_i) out_intens[(size_t)bucket * pmax + fill] = p.inten;
         point_mask[(size_t)bucket * pmax + fill] = 1;
         fill++;
     }

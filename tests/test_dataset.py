@@ -22,7 +22,7 @@ def test_decimate_blind(rng):
     pts = rng.uniform(-5, 5, size=(100, 3)).astype(np.float32)
     pts[5] = [0.1, 0.1, 0.1]  # inside blind radius
     toff = np.linspace(0, 0.1, 100).astype(np.float32)
-    out_p, out_t = ds.decimate_blind(pts, toff, filter_num=2, blind=1.0)
+    out_p, out_t, _ = ds.decimate_blind(pts, toff, filter_num=2, blind=1.0)
     # Every kept point has even index and is outside the blind radius
     # (lidar_processing.cc:40-41).
     assert len(out_p) <= 50
@@ -40,12 +40,16 @@ def test_voxel_downsample_centroid(rng):
         [[0.1, 0.1, 0.1], [0.3, 0.3, 0.3], [1.1, 0.1, 0.1]], dtype=np.float32
     )
     toff = np.array([0.0, 0.002, 0.004], dtype=np.float32)
-    out_p, out_t = ds.voxel_downsample(pts, toff, leaf=0.5)
+    out_p, out_t, out_i = ds.voxel_downsample(
+        pts, toff, leaf=0.5, intensity=np.array([10.0, 20.0, 7.0], np.float32)
+    )
     assert len(out_p) == 2
     order = np.argsort(out_p[:, 0])
     np.testing.assert_allclose(out_p[order[0]], [0.2, 0.2, 0.2], atol=1e-6)
     np.testing.assert_allclose(out_t[order[0]], 0.001, atol=1e-7)
     np.testing.assert_allclose(out_p[order[1]], [1.1, 0.1, 0.1], atol=1e-6)
+    np.testing.assert_allclose(out_i[order[0]], 15.0, atol=1e-6)
+    np.testing.assert_allclose(out_i[order[1]], 7.0, atol=1e-6)
 
 
 def test_packet_shapes_and_event_assignment(rng):

