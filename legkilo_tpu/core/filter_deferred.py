@@ -21,7 +21,8 @@ This pipeline restructures the same computation into three phases:
    point-update recursion of the reference (same dual clocks, same gain
    algebra, h and z re-evaluated from the *current* in-chain state like
    KILO.cc:190-210), over pre-matched planes.  Runs either as a lax.scan
-   or as ONE fused Pallas kernel (ops/pallas/eskf_chain.py).
+   or (fused pipeline) as ONE Pallas kernel over per-bucket sufficient
+   statistics (ops/pallas/chain_stats.py).
 3. **Deferred map insertion** (once per scan): world points are recomputed
    with each bucket's post-update pose and inserted in a single batched
    call.  The reference inserts after every bucket; deferring to scan end
@@ -641,17 +642,13 @@ def process_scan_deferred(
         carry, packet, params, scfg
     )
 
-    if scfg.use_pallas:
-        from ..ops.pallas.eskf_chain import run_chain
-
-        carry, rots, poss, rot_covs, pos_covs, nmatch = run_chain(
-            carry, packet, params, p_i, normal, center, r_meas, matched,
-            use_kin=scfg.use_kin,
-        )
-    else:
-        carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_jax(
-            carry, packet, params, scfg, p_i, normal, center, r_meas, matched
-        )
+    # chain_impl="jax" always runs the lax.scan chain; the Pallas fast path
+    # lives on the fused pipeline only (chain_stats.py).  The superseded
+    # per-point chain kernel is archived at tools/experiments/
+    # eskf_chain_pallas.py (see docs/PERF_NOTES.md "Mosaic findings").
+    carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_jax(
+        carry, packet, params, scfg, p_i, normal, center, r_meas, matched
+    )
 
     # Phase 3: recompute world points with post-update per-bucket poses and
     # insert everything at once (KILO.cc:216-231 recompute + UpdateVoxelMap).

@@ -7,7 +7,69 @@ from legkilo_tpu.core import eskf_fused as ef
 from legkilo_tpu.core.filter_deferred import _chain_fused_core
 from legkilo_tpu.ops.pallas.chain_stats import run_chain_stats
 
-from test_pallas_chain import setup
+from legkilo_tpu.config import EskfConfig
+from legkilo_tpu.core import eskf as eskf_mod
+from legkilo_tpu.core.filter import (
+    FilterParams, ScanPacket, StaticConfig, init_carry,
+)
+from legkilo_tpu.core.voxel_map import MapConfig
+
+
+def setup(rng, nb=8, p=32, k=2):
+    scfg = StaticConfig(
+        map_cfg=MapConfig(
+            levels=2, capacity=256, probe=4, voxel_size=0.5,
+            planer_threshold=0.01, sigma_num=3.0, max_points_num=50,
+            init_num=(5, 5),
+        ),
+        use_kin=False, dept_err=0.04, beam_err=0.2,
+    )
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(EskfConfig()),
+        ext_r=jnp.eye(3),
+        ext_t=jnp.asarray([0.0, 0.0, 0.2]),
+        g_over_acc_norm=jnp.asarray(1.0),
+    )
+    carry = init_carry(scfg)
+    # Perturb the state/cov so the chain isn't trivially at the origin.
+    carry = carry._replace(
+        cov=jnp.asarray(
+            (lambda a: a @ a.T * 1e-4 + 1e-5 * np.eye(30))(rng.normal(size=(30, 30))),
+            dtype=jnp.float32,
+        ),
+    )
+    bt = (np.arange(nb, dtype=np.float32) + 1) * 0.002
+    acc = rng.normal(scale=0.05, size=(nb, k, 3)).astype(np.float32)
+    acc[..., 2] += 9.81
+    imu_mask = rng.random((nb, k)) < 0.3
+    packet = ScanPacket(
+        rebase=jnp.float32(0.0),
+        end_offset=jnp.float32(nb * 0.002),
+        bucket_time=jnp.asarray(bt),
+        bucket_mask=jnp.ones(nb, dtype=bool),
+        points=jnp.asarray(rng.uniform(1, 3, size=(nb, p, 3)).astype(np.float32)),
+        point_mask=jnp.asarray(rng.random((nb, p)) < 0.9),
+        imu_time=jnp.asarray(np.clip(bt[:, None] - 0.001, 0, None).astype(np.float32) * np.ones((1, k), np.float32)),
+        imu_mask=jnp.asarray(imu_mask),
+        imu_acc=jnp.asarray(acc),
+        imu_gyr=jnp.asarray(rng.normal(scale=0.02, size=(nb, k, 3)).astype(np.float32)),
+        foot_pos=jnp.zeros((nb, k, 4, 3), dtype=jnp.float32),
+        foot_vel=jnp.zeros((nb, k, 4, 3), dtype=jnp.float32),
+        contact=jnp.zeros((nb, k, 4), dtype=bool),
+    )
+    # Synthetic match data: floor plane z=0 for ~70% of points.
+    normal = np.zeros((nb, p, 3), dtype=np.float32)
+    normal[..., 2] = 1.0
+    center = rng.uniform(-1, 1, size=(nb, p, 3)).astype(np.float32)
+    center[..., 2] = 0.0
+    matched = (rng.random((nb, p)) < 0.7) & np.asarray(packet.point_mask)
+    r_meas = rng.uniform(0.05, 0.3, size=(nb, p)).astype(np.float32)
+    p_i = np.asarray(packet.points) @ np.eye(3) + np.asarray(params.ext_t)
+    return scfg, params, carry, packet, (
+        jnp.asarray(p_i), jnp.asarray(normal), jnp.asarray(center),
+        jnp.asarray(r_meas), jnp.asarray(matched),
+    )
+
 
 
 def _stats(packet, aux):
