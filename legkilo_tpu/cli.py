@@ -183,7 +183,40 @@ def cmd_sim(args: argparse.Namespace) -> int:
     return 0
 
 
+def _maybe_multihost(args) -> bool:
+    """Bring up jax.distributed from CLI flags (must run before any other
+    jax call touches the backend).  Returns True in a multi-process run."""
+    from .parallel import multihost
+
+    if args.coordinator or args.num_processes:
+        import jax
+
+        try:
+            # CPU cross-process collectives need gloo; a no-op for TPU runs
+            # (the option only configures the CPU backend).
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
+        multihost.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    import jax
+
+    return jax.process_count() > 1
+
+
+def _add_multihost_args(p) -> None:
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
 def cmd_sweep(args: argparse.Namespace) -> int:
+    multihost_run = _maybe_multihost(args)
+
     import jax
     import jax.numpy as jnp
 
@@ -226,7 +259,14 @@ def cmd_sweep(args: argparse.Namespace) -> int:
         ext_t=jnp.asarray(cfg.extrinsic_T, dtype=jnp.float32),
         g_over_acc_norm=jnp.asarray(float(cfg.gravity / np.linalg.norm(data.mean_acc))),
     )
-    mesh = make_mesh()
+    if multihost_run:
+        # (dcn, ici) hierarchical mesh: replicas split across hosts first,
+        # local devices second; fleet reductions ride ICI then DCN once.
+        from .parallel.multihost import hierarchical_mesh
+
+        mesh = hierarchical_mesh()
+    else:
+        mesh = make_mesh()
     B = args.replicas or len(jax.devices())
     carry = shard_batch(batched_carry(scfg, B), mesh)
     bparams = shard_batch(perturb_params(params, B, scale=args.noise_scale), mesh)
@@ -253,12 +293,14 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     jax.block_until_ready(stats)
     wall = time.perf_counter() - t0
     n_timed = len(packets) - n_warm
-    print(json.dumps({
-        "replicas": B, "devices": len(jax.devices()), "scans": n_timed,
-        "wall_s": round(wall, 2),
-        "replica_scans_per_s": round(B * n_timed / wall, 1),
-        "final_spread_m": float(stats.pos_spread),
-    }))
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "replicas": B, "devices": len(jax.devices()),
+            "processes": jax.process_count(), "scans": n_timed,
+            "wall_s": round(wall, 2),
+            "replica_scans_per_s": round(B * n_timed / wall, 1),
+            "final_spread_m": float(stats.pos_spread),
+        }))
     return 0
 
 
@@ -283,7 +325,10 @@ def cmd_eval(args: argparse.Namespace) -> int:
 
 
 def cmd_scale(args: argparse.Namespace) -> int:
-    """Weak-scaling efficiency measurement across local devices."""
+    """Weak-scaling efficiency measurement across local devices (or, with
+    --coordinator/--num_processes, across a jax.distributed mesh)."""
+    _maybe_multihost(args)
+
     import jax
     import jax.numpy as jnp
 
@@ -383,6 +428,7 @@ def main(argv=None) -> int:
                       choices=["sequential", "deferred"])
     p_sw.add_argument("--pallas", action="store_true",
                       help="deferred mode: fused Pallas kernels")
+    _add_multihost_args(p_sw)
     p_sw.set_defaults(fn=cmd_sweep)
 
     p_ev = sub.add_parser("eval", help="ATE between two TUM trajectories")
@@ -397,6 +443,7 @@ def main(argv=None) -> int:
     p_sc.add_argument("--duration", type=float, default=2.0)
     p_sc.add_argument("--devices", default=None, help="comma list, e.g. 1,4,8")
     p_sc.add_argument("--replicas_per_device", type=int, default=1)
+    _add_multihost_args(p_sc)
     p_sc.set_defaults(fn=cmd_scale)
 
     args = ap.parse_args(argv)

@@ -58,13 +58,17 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .plane_fit import PlaneMoments, fit_planes, point_moments
 
-_HASH_P1 = jnp.uint32(73856093)
-_HASH_P2 = jnp.uint32(471943)
-_HASH_P3 = jnp.uint32(83492791)
+# numpy (not jnp) scalars: a module-level jnp constant would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# (it must run before any backend init — see tests/multihost_worker.py).
+_HASH_P1 = np.uint32(73856093)
+_HASH_P2 = np.uint32(471943)
+_HASH_P3 = np.uint32(83492791)
 
 # meta row layout (frozen is derived: n >= max_points_num)
 _M_N, _M_NEW, _M_INIT, _M_PLANE = 0, 1, 2, 3

@@ -28,8 +28,10 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def replica_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (replica) axis across the mesh."""
-    return NamedSharding(mesh, P(REPLICA_AXIS))
+    """Shard the leading (replica) axis across ALL mesh axes — on a 1-D
+    ('replica',) mesh this is plain DP; on a hierarchical (dcn, ici) mesh
+    the leading axis splits across hosts first, local devices second."""
+    return NamedSharding(mesh, P(mesh.axis_names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -37,11 +39,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Device_put a [B, ...] pytree with the leading axis sharded."""
-    sh = replica_sharding(mesh)
+    """Materialize a [B, ...] pytree with the leading axis sharded.
+
+    Multi-process safe: when this process addresses only part of the mesh
+    (jax.distributed), each process contributes its local shards via
+    make_array_from_callback instead of device_put."""
+    names = mesh.axis_names
+    multi = jax.process_count() > 1
 
     def put(x):
-        spec = P(REPLICA_AXIS) if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = P(names) if getattr(x, "ndim", 0) >= 1 else P()
+        sh = NamedSharding(mesh, spec)
+        if not multi:
+            return jax.device_put(x, sh)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 
     return jax.tree.map(put, tree)

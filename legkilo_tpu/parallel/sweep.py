@@ -72,7 +72,10 @@ def make_fleet_step(scfg: StaticConfig, mesh=None, with_stats: bool = True):
     if mesh is None:
         return jax.jit(step)
 
-    shard = NamedSharding(mesh, P(REPLICA_AXIS))
+    # Shard the replica axis over every mesh axis: plain DP on a 1-D
+    # ('replica',) mesh, hosts-then-devices on a hierarchical (dcn, ici)
+    # mesh — XLA reduces the fleet statistics over ICI first, DCN once.
+    shard = NamedSharding(mesh, P(mesh.axis_names))
     repl = NamedSharding(mesh, P())
 
     def spec_like(tree, leading_spec):
