@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 import time
 
@@ -214,6 +215,204 @@ def _add_multihost_args(p) -> None:
     p.add_argument("--process_id", type=int, default=None)
 
 
+def _packets_from_streams(cfg, scans, events, use_kin: bool):
+    """scans + events -> ordered HostPackets (the run_offline feed loop)."""
+    from .io.dataset import PacketBuilder
+
+    builder = PacketBuilder(cfg)
+    ev_iter = iter(sorted(events, key=lambda e: e.time))
+    pending = next(ev_iter, None)
+    packets = []
+    for scan in scans:
+        while pending is not None and pending.time <= scan.end_time + 0.5:
+            if use_kin:
+                builder.add_kin_imu(pending)
+            else:
+                builder.add_imu(pending)
+            pending = next(ev_iter, None)
+        builder.add_scan(scan)
+        while builder.ready():
+            packets.append(builder.pop())
+    return packets
+
+
+def _load_bag_streams(cfg, path: str):
+    """One .bag -> (scans, imu_events) with redundancy rejection
+    (ros_interface.cc:198-204)."""
+    from .io import rosbag as bag_mod
+    from .io.dataset import ImuEvent
+    from .models import lidar as lidar_mod
+
+    scans, events = [], []
+    last_acc_z = last_gyr_z = None
+    with bag_mod.BagReader(path) as reader:
+        for msg in reader.messages([cfg.lidar_topic, cfg.imu_topic]):
+            if msg.topic == cfg.lidar_topic:
+                scans.append(
+                    lidar_mod.decode(bag_mod.parse_pointcloud2(msg.raw), cfg.lidar)
+                )
+            elif msg.topic == cfg.imu_topic:
+                imu = bag_mod.parse_imu(msg.raw)
+                if cfg.redundancy and (
+                    imu.linear_acceleration[2] == last_acc_z
+                    and imu.angular_velocity[2] == last_gyr_z
+                ):
+                    continue
+                last_acc_z = imu.linear_acceleration[2]
+                last_gyr_z = imu.angular_velocity[2]
+                events.append(ImuEvent(
+                    time=imu.stamp, acc=imu.linear_acceleration,
+                    gyr=imu.angular_velocity,
+                ))
+    return scans, events
+
+
+def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
+    """Distinct-replay fleet sweep: every replica advances through its OWN
+    bag each step (the in_axes=0 path; BASELINE.json's batched-bag-replay
+    north star).  --distinct N generates N different synthetic worlds
+    (varied trajectory + noise seed); --bags replays real .bag files."""
+    import glob
+
+    import jax
+
+    from .core import eskf as eskf_mod
+    from .core.filter import FilterParams
+    from .io.dataset import decimate_blind, to_device_packet
+    from .io.tum import TrajectoryWriter, ate_rmse
+    from .models import sim as sim_mod
+    from .parallel.mesh import shard_batch
+    from .parallel.sweep import fleet_init, make_fleet_step, stack_packets
+    from .runner import make_static_config
+
+    import jax.numpy as jnp
+
+    datas = None
+    if args.bags:
+        paths = sorted(glob.glob(os.path.join(args.bags, "*.bag")))
+        if not paths:
+            print(json.dumps({"error": f"no .bag files in {args.bags}"}))
+            return 1
+        streams = [_load_bag_streams(cfg, p) for p in paths]
+        names = [os.path.basename(p) for p in paths]
+    else:
+        n = args.distinct
+        datas = []
+        for r in range(n):
+            traj = sim_mod.Trajectory(
+                speed=0.6 + 0.12 * (r % 4),
+                radius=2.0 + 0.4 * (r % 3),
+                bob_freq=1.5 + 0.25 * (r % 4),
+            )
+            datas.append(sim_mod.simulate(
+                sim_mod.SimConfig(duration=args.duration, seed=100 + r),
+                traj=traj,
+            ))
+        streams = [(d.scans, d.imu) for d in datas]
+        names = [f"sim{r}" for r in range(len(datas))]
+
+    scfg = make_static_config(cfg, use_kin=False)
+    ext_r = np.asarray(cfg.extrinsic_R, dtype=np.float32).reshape(3, 3)
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(cfg.eskf),
+        ext_r=jnp.asarray(ext_r),
+        ext_t=jnp.asarray(cfg.extrinsic_T, dtype=jnp.float32),
+        g_over_acc_norm=jnp.asarray(1.0),  # set per replica by fleet_init
+    )
+
+    pkt_seqs, first_clouds, mean_accs, mean_gyrs, end_offsets = [], [], [], [], []
+    for scans, events in streams:
+        pkts = _packets_from_streams(cfg, scans, events, use_kin=False)
+        first = pkts[0]
+        m = first.imu_mask
+        mean_accs.append(first.imu_acc[m].mean(axis=0))
+        mean_gyrs.append(first.imu_gyr[m].mean(axis=0))
+        end_offsets.append(first.end_offset)
+        pts, _, _ = decimate_blind(
+            scans[0].points, scans[0].time_offset,
+            cfg.lidar.filter_num, cfg.lidar.blind,
+        )
+        first_clouds.append(pts)
+        pkt_seqs.append(pkts)
+
+    # The replica axis must divide the mesh: shard over the largest device
+    # subset that divides B (multi-process meshes are fixed-shape and
+    # require divisibility outright).
+    B = len(pkt_seqs)
+    if multihost_run:
+        from .parallel.multihost import hierarchical_mesh
+
+        mesh = hierarchical_mesh()
+        if B % mesh.devices.size:
+            print(json.dumps({
+                "error": f"{B} replicas not divisible by "
+                         f"{mesh.devices.size} devices"
+            }))
+            return 1
+    else:
+        from .parallel.mesh import make_mesh
+
+        nd = len(jax.devices())
+        n = next(k for k in range(min(B, nd), 0, -1) if B % k == 0)
+        mesh = make_mesh(n)
+
+    carry, bparams = fleet_init(
+        scfg, params, first_clouds,
+        np.stack(mean_accs), np.stack(mean_gyrs),
+        np.asarray(end_offsets), float(cfg.gravity),
+    )
+    carry = shard_batch(carry, mesh)
+    bparams = shard_batch(bparams, mesh)
+    step = make_fleet_step(scfg, mesh=mesh)
+
+    steps = stack_packets(
+        [[to_device_packet(p) for p in seq[1:]] for seq in pkt_seqs]
+    )
+    times = [
+        [p.end_time for p in seq[1 : 1 + len(steps)]] for seq in pkt_seqs
+    ]
+
+    est, est_rot = [], []   # per step [B, 3], [B, 3, 3]
+    t0 = time.perf_counter()
+    stats = None
+    for dev in steps:
+        carry, out, stats = step(carry, shard_batch(dev, mesh), bparams)
+        est.append(np.asarray(out.pos))
+        est_rot.append(np.asarray(out.rot))
+    jax.block_until_ready(stats)
+    wall = time.perf_counter() - t0
+    est = np.stack(est)          # [T, B, 3]
+    est_rot = np.stack(est_rot)  # [T, B, 3, 3]
+    B = est.shape[1]
+
+    report = {
+        "replicas": B, "devices": int(mesh.devices.size), "scans": len(steps),
+        "wall_s": round(wall, 2),
+        "replica_scans_per_s": round(B * len(steps) / max(wall, 1e-9), 1),
+        "mean_matched": round(float(stats.mean_matched), 1),
+    }
+    if datas is not None:
+        ates = []
+        for r, d in enumerate(datas):
+            _, gt_pos_f = d.gt_in_filter_frame()
+            gtm = {round(t, 6): i for i, t in enumerate(d.gt_times)}
+            sel = [i for i, t in enumerate(times[r]) if round(t, 6) in gtm]
+            idx = [gtm[round(times[r][i], 6)] for i in sel]
+            ates.append(round(ate_rmse(est[sel, r], gt_pos_f[idx], align=False), 4))
+        report["ate_per_replica_m"] = dict(zip(names, ates))
+    if args.traj_out:
+        os.makedirs(args.traj_out, exist_ok=True)
+        for r, name in enumerate(names):
+            with TrajectoryWriter(
+                os.path.join(args.traj_out, f"{name}.tum")
+            ) as w:
+                for t in range(len(steps)):
+                    w.write(times[r][t], est_rot[t, r], est[t, r])
+    if jax.process_index() == 0:
+        print(json.dumps(report))
+    return 0
+
+
 def cmd_sweep(args: argparse.Namespace) -> int:
     multihost_run = _maybe_multihost(args)
 
@@ -234,6 +433,12 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     cfg.only_imu_use = True
     cfg.lidar.filter_num = 1
     cfg.lidar.blind = 0.3
+
+    if args.distinct or args.bags:
+        if getattr(args, "pipeline", None):
+            cfg.tpu.pipeline = args.pipeline
+        return _sweep_distinct(args, cfg, multihost_run)
+
     data = sim_mod.simulate(sim_mod.SimConfig(duration=args.duration))
     builder = PacketBuilder(cfg)
     for ev in data.imu:
@@ -428,6 +633,15 @@ def main(argv=None) -> int:
                       choices=["sequential", "deferred"])
     p_sw.add_argument("--pallas", action="store_true",
                       help="deferred mode: fused Pallas kernels")
+    p_sw.add_argument("--distinct", type=int, default=0,
+                      help="fleet over N DISTINCT synthetic bags (varied "
+                           "trajectories); reports per-replica ATE")
+    p_sw.add_argument("--bags", default=None,
+                      help="directory of .bag files: one replica per bag "
+                           "(batched distinct-bag replay)")
+    p_sw.add_argument("--traj_out", default=None,
+                      help="with --distinct/--bags: directory for "
+                           "per-replica TUM trajectories")
     _add_multihost_args(p_sw)
     p_sw.set_defaults(fn=cmd_sweep)
 

@@ -165,10 +165,14 @@ def _raycast(origin: np.ndarray, dirs: np.ndarray, planes: List[Plane], max_rang
     return best, hit
 
 
-def simulate(cfg: SimConfig, world: Optional[List[Plane]] = None) -> SimData:
+def simulate(
+    cfg: SimConfig,
+    world: Optional[List[Plane]] = None,
+    traj: Optional[Trajectory] = None,
+) -> SimData:
     rng = np.random.default_rng(cfg.seed)
     planes = world if world is not None else box_world()
-    traj = Trajectory()
+    traj = traj if traj is not None else Trajectory()
     ext_r = cfg.ext_r if cfg.ext_r is not None else np.eye(3)
     ext_t = cfg.ext_t if cfg.ext_t is not None else np.array([0.0, 0.0, 0.2])
     ba = np.array(cfg.acc_bias)

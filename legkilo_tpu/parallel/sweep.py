@@ -11,7 +11,7 @@ inserts collectives only for the final statistics reductions.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +93,64 @@ def broadcast_packets(packet: ScanPacket, batch: int) -> ScanPacket:
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (batch,) + jnp.shape(x)).copy(), packet
     )
+
+
+def stack_packets(packet_seqs) -> list:
+    """B per-replica ScanPacket sequences -> per-step [B, ...] packets.
+
+    The distinct-bag fleet path (BASELINE.json north star: *batched bag
+    replays*, not parameter jitter): every replica advances through its OWN
+    packet stream each step.  Sequences are truncated to the shortest
+    replica so every step has a full batch."""
+    t_min = min(len(s) for s in packet_seqs)
+    return [
+        jax.tree.map(lambda *xs: jnp.stack(xs), *[s[t] for s in packet_seqs])
+        for t in range(t_min)
+    ]
+
+
+def fleet_init(
+    scfg: StaticConfig,
+    params: FilterParams,
+    first_scan_points,   # list of B [Ni, 3] raw (decimated) first clouds
+    mean_acc: np.ndarray,   # [B, 3]
+    mean_gyr: np.ndarray,   # [B, 3]
+    end_offsets: np.ndarray,  # [B]
+    gravity: float,
+    pad: int = 8192,
+) -> Tuple[FilterCarry, FilterParams]:
+    """Batched first-frame initialization: the runner's per-filter init
+    (init_state_from_imu + BuildVoxelMap, runner.py:_initialize) vmapped
+    over B replicas with per-replica sensor statistics and first clouds."""
+    from ..core.filter import first_frame_map, init_state_from_imu
+
+    B = len(first_scan_points)
+    carry = batched_carry(scfg, B)
+    acc = jnp.asarray(np.stack(mean_acc), dtype=jnp.float32)
+    gyr = jnp.asarray(np.stack(mean_gyr), dtype=jnp.float32)
+    eo = jnp.asarray(np.asarray(end_offsets, np.float32))
+
+    carry, acc_norm = jax.vmap(
+        lambda c, a, g, e: init_state_from_imu(c, a, g, float(gravity), e)
+    )(carry, acc, gyr, eo)
+
+    bparams = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)).copy(), params
+    )
+    bparams = bparams._replace(
+        g_over_acc_norm=(gravity / acc_norm).astype(jnp.float32)
+    )
+
+    buf = np.zeros((B, pad, 3), dtype=np.float32)
+    mask = np.zeros((B, pad), dtype=bool)
+    for i, pts in enumerate(first_scan_points):
+        n = min(len(pts), pad)
+        buf[i, :n] = pts[:n]
+        mask[i, :n] = True
+    carry = jax.vmap(
+        lambda c, p, pt, m: first_frame_map(c, scfg, p, pt, m)
+    )(carry, bparams, jnp.asarray(buf), jnp.asarray(mask))
+    return carry, bparams
 
 
 def perturb_params(
