@@ -56,6 +56,18 @@ def cmd_run(args: argparse.Namespace) -> int:
             leaf_size=cfg.pcd_voxel_leaf_size,
         )
 
+    def handle(r):
+        if r.n_points:
+            log.info(
+                "scan t=%.3f pos=(%.3f %.3f %.3f) matched %d/%d (%.0f%%)",
+                r.time, *r.pos, r.n_matched, r.n_points,
+                100.0 * r.n_matched / max(r.n_points, 1),
+            )
+        if writer:
+            writer.write(r.time, r.rot, r.pos)
+        if pcd is not None and r.cloud_world is not None:
+            pcd.save(r.cloud_world, intensity=r.intensity)
+
     n_msgs = 0
     last_acc_z = last_gyr_z = None  # redundancy rejection state
     t0 = time.perf_counter()
@@ -101,16 +113,9 @@ def cmd_run(args: argparse.Namespace) -> int:
             else:
                 continue
             for r in results:
-                if r.n_points:
-                    log.info(
-                        "scan t=%.3f pos=(%.3f %.3f %.3f) matched %d/%d (%.0f%%)",
-                        r.time, *r.pos, r.n_matched, r.n_points,
-                        100.0 * r.n_matched / max(r.n_points, 1),
-                    )
-                if writer:
-                    writer.write(r.time, r.rot, r.pos)
-                if pcd is not None and r.cloud_world is not None:
-                    pcd.save(r.cloud_world, intensity=r.intensity)
+                handle(r)
+    for r in runner.flush():
+        handle(r)
     if writer:
         writer.close()
     if pcd is not None:

@@ -131,6 +131,12 @@ class TpuConfig:
     chain_unroll: int = 1
     # Fused pipeline: reuse the match-phase table probe for insertion.
     insert_reuse_probe: bool = True
+    # Host-feed pipelining (the PP analog of the reference's producer/
+    # consumer threads, ros_interface.cc:125-172): keep up to this many
+    # dispatched-but-unmaterialized scans in flight so host packet build /
+    # upload of scan k+1 overlaps device compute of scan k.  0 = fully
+    # synchronous (materialize every scan before the next dispatch).
+    pipeline_depth: int = 2
     dtype: str = "float32"
 
 
@@ -214,6 +220,7 @@ _TPU_KEY_MAP = {
     "tpu_chain_impl": "chain_impl",
     "tpu_chain_unroll": "chain_unroll",
     "tpu_insert_reuse_probe": "insert_reuse_probe",
+    "tpu_pipeline_depth": "pipeline_depth",
     "tpu_dtype": "dtype",
 }
 

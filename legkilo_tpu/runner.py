@@ -9,6 +9,7 @@ converted bags (io/rosbag.py) or the simulator (models/sim.py).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import logging
 import time
@@ -112,6 +113,15 @@ class OdometryRunner:
             self._step = jax.jit(process_scan, static_argnums=3)
         self._first_map = jax.jit(first_frame_map, static_argnums=1)
         self.results: List[ScanResult] = []
+        # Host-feed pipelining (the PP analog of the reference's 3 producer
+        # threads + consumer main loop, ros_interface.cc:125-172, 380-404):
+        # JAX dispatch is async, so the only per-scan host sync is the
+        # np.asarray materialization of the outputs.  Keeping a bounded
+        # window of dispatched scans in flight lets packet build + upload of
+        # scan k+1 overlap device compute of scan k; results still come back
+        # strictly in scan order, just up to ``pipeline_depth`` scans late.
+        self.pipeline_depth = max(0, int(cfg.tpu.pipeline_depth))
+        self._inflight: collections.deque = collections.deque()
 
     # -- streaming input ---------------------------------------------------
     def add_scan(self, scan: RawScan) -> List[ScanResult]:
@@ -148,7 +158,17 @@ class OdometryRunner:
                     )
                 )
                 continue
-            out.append(self._process(pkt))
+            self._dispatch(pkt)
+            while len(self._inflight) > self.pipeline_depth:
+                out.append(self._materialize(*self._inflight.popleft()))
+        self.results.extend(out)
+        return out
+
+    def flush(self) -> List[ScanResult]:
+        """Materialize every in-flight scan (call at stream end)."""
+        out = []
+        while self._inflight:
+            out.append(self._materialize(*self._inflight.popleft()))
         self.results.extend(out)
         return out
 
@@ -201,6 +221,8 @@ class OdometryRunner:
         The reference cannot checkpoint (pointer octrees; SURVEY.md §5);
         this is an intentional capability extension."""
         from .io import checkpoint as ckpt
+
+        self.flush()  # step count (len(results)) must include in-flight scans
 
         b = self.builder
         extras = {
@@ -276,11 +298,19 @@ class OdometryRunner:
             return None
         return pkt.imu_acc[m].mean(axis=0), pkt.imu_gyr[m].mean(axis=0)
 
-    def _process(self, pkt: HostPacket) -> ScanResult:
+    def _dispatch(self, pkt: HostPacket) -> None:
+        """Upload + enqueue one scan step (async; does not sync on results).
+
+        The Timer label matches the reference's (KILO.cc:367) but measures
+        dispatch, not device time — with pipelining the device sync lands in
+        the _materialize of a scan up to pipeline_depth steps later."""
         dev = to_device_packet(pkt)
         with Timer.measure("State predict/update & Map update"):
             self.carry, out = self._step(self.carry, dev, self.params, self.scfg)
-            out = jax.tree.map(np.asarray, out)
+        self._inflight.append((pkt, out))
+
+    def _materialize(self, pkt: HostPacket, out) -> ScanResult:
+        out = jax.tree.map(np.asarray, out)
         if pkt.dropped_points or pkt.dropped_events:
             log.warning(
                 "packet overflow: dropped %d points, %d events",
@@ -351,6 +381,7 @@ def run_offline(
             pending = next(ev_iter, None)
         runner.add_scan(scan)
         runner._drain()
+    runner.flush()
     if save_ckpt:
         path = runner.save_checkpoint(save_ckpt)
         log.info("Saved checkpoint to %s", path)
