@@ -85,3 +85,14 @@ def test_flat_parser_fallback(tmp_path, monkeypatch):
     assert cfg.only_imu_use is True
     assert cfg.lidar.time_scale == 1e-6
     assert cfg.extrinsic_T == [0.0, 0.1, 0.2]
+
+
+def test_package_defaults_full_matmul_precision():
+    """Importing the package must opt the process into full-precision f32
+    matmuls: TPU's 'default' bf16 truncation inflates trajectory ATE ~38x
+    (docs/PERF_NOTES.md "Matmul precision")."""
+    import jax
+
+    import legkilo_tpu  # noqa: F401 (import side effect under test)
+
+    assert jax.config.jax_default_matmul_precision == "highest"
