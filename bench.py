@@ -44,6 +44,7 @@ def main() -> None:
     from legkilo_tpu.core import eskf as eskf_mod
     from legkilo_tpu.core.filter import (
         FilterParams, StaticConfig, init_carry, process_scan,
+        process_scan_chunk, stack_scan_packets,
     )
     from legkilo_tpu.core.voxel_map import map_config_from
     from legkilo_tpu.io.dataset import PacketBuilder, to_device_packet
@@ -147,6 +148,13 @@ def main() -> None:
     dev = jax.devices()[0]
     dev_packets = [to_device_packet(p) for p in packets]
 
+    # Replay chunking: roll K scans per dispatch (lax.scan over pre-staged
+    # packets, core/filter.process_scan_chunk — bit-identical to per-scan
+    # stepping, tests/test_filter_deferred.py).  Once the device outruns the
+    # ~55 us host dispatch (docs/PERF_NOTES.md "Round-2 rig"), per-scan
+    # replay latency is dispatch-bound; chunking amortizes the floor.
+    chunk = max(1, int(os.environ.get("LEGKILO_BENCH_CHUNK", "8")))
+
     def measure(pinned: bool) -> float:
         carry = init_carry(scfg)
         if pinned:
@@ -159,12 +167,23 @@ def main() -> None:
                     Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev)
                 )
 
+        body = process_scan_chunk if chunk > 1 else step_fn
+        if chunk > 1:
+            feed = [
+                stack_scan_packets(dev_packets[i : i + chunk])
+                for i in range(0, len(dev_packets) - chunk + 1, chunk)
+            ]
+            scans_per_call = chunk
+        else:
+            feed = dev_packets
+            scans_per_call = 1
+        if pinned:
             fmt = jax.tree.map(_fmt, carry)
             carry = jax.jit(
                 lambda t: jax.tree.map(jnp.copy, t), out_shardings=fmt
             )(carry)
             step = jax.jit(
-                step_fn, static_argnums=3, donate_argnums=0,
+                body, static_argnums=3, donate_argnums=0,
                 in_shardings=(fmt, None, None), out_shardings=(fmt, None),
             )
         else:
@@ -177,23 +196,24 @@ def main() -> None:
                 ),
                 carry,
             )
-            step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
+            step = jax.jit(body, static_argnums=3, donate_argnums=0)
 
         # Warm-up / map bootstrap on the first packets (includes compile).
-        carry, out = step(carry, dev_packets[0], params, scfg)
+        n_boot = max(1, 10 // scans_per_call)
+        carry, out = step(carry, feed[0], params, scfg)
         jax.block_until_ready(out.pos)
-        for p in dev_packets[1:10]:
+        for p in feed[1:n_boot]:
             carry, out = step(carry, p, params, scfg)
         jax.block_until_ready(out.pos)
 
         # Timed steady-state region.
-        timed = dev_packets[10:]
+        timed = feed[n_boot:]
         t0 = time.perf_counter()
         for p in timed:
             carry, out = step(carry, p, params, scfg)
         jax.block_until_ready(out.pos)
         dt = time.perf_counter() - t0
-        return dt / len(timed) * 1e3
+        return dt / (len(timed) * scans_per_call) * 1e3
 
     ms_per_scan = measure(pinned=os.environ["LEGKILO_BENCH_LAYOUT"] == "pinned")
 

@@ -403,3 +403,33 @@ def process_scan_any(
 
         return process_scan_deferred(carry, packet, params, scfg)
     return process_scan(carry, packet, params, scfg)
+
+
+def stack_scan_packets(packets) -> ScanPacket:
+    """Stack per-scan packets into one [K, ...] chunk pytree (all packets
+    in a chunk must share the static padded shapes, which PacketBuilder
+    guarantees for a fixed config)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *packets)
+
+
+def process_scan_chunk(
+    carry: FilterCarry,
+    packets: ScanPacket,  # [K, ...] stacked chunk (stack_scan_packets)
+    params: FilterParams,
+    scfg: StaticConfig,
+) -> Tuple[FilterCarry, ScanOutput]:
+    """Offline-replay fast path: roll ``process_scan_any`` over a chunk of
+    pre-staged packets inside ONE dispatch (lax.scan over scans).
+
+    Streaming replay pays one host dispatch per scan; once the device
+    executes a scan program faster than the host can enqueue it
+    (docs/PERF_NOTES.md "Round-2 rig"), replay throughput is dispatch-bound.
+    Chunking amortizes that floor across K scans.  Semantics are identical
+    to K sequential ``process_scan_any`` calls (the scan carry is the full
+    filter carry, map included); outputs come back stacked [K, ...].
+    """
+
+    def body(c, pkt):
+        return process_scan_any(c, pkt, params, scfg)
+
+    return jax.lax.scan(body, carry, packets)

@@ -183,3 +183,52 @@ def test_cap_overflow_is_counted_not_silent(simdata):
         carry2, out2 = step(carry2, to_device_packet(pkt), params, scfg2)
     assert int(out2.n_cap_dropped) == 0
     assert int(carry2.vm.ocnt[OCNT_ROWCAP]) == 0
+
+
+def test_chunked_replay_bit_identical(simdata):
+    """process_scan_chunk (lax.scan over pre-staged packets, one dispatch)
+    must be bit-identical to per-scan stepping — it exists purely to
+    amortize host dispatch on rigs where the device outruns the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from legkilo_tpu.core import eskf as eskf_mod
+    from legkilo_tpu.core.filter import (
+        FilterParams, init_carry, process_scan_any, process_scan_chunk,
+        stack_scan_packets,
+    )
+    from legkilo_tpu.io.dataset import PacketBuilder, to_device_packet
+    from legkilo_tpu.runner import make_static_config
+
+    cfg = make_config("deferred")
+    scfg = make_static_config(cfg)
+    params = FilterParams(
+        noise=eskf_mod.make_noise_params(cfg.eskf),
+        ext_r=jnp.eye(3),
+        ext_t=jnp.asarray([0.0, 0.0, 0.2]),
+        g_over_acc_norm=jnp.asarray(1.0),
+    )
+    builder = PacketBuilder(cfg)
+    for ev in simdata.imu:
+        builder.add_imu(ev)
+    pkts = []
+    for scan in simdata.scans:
+        builder.add_scan(scan)
+        while builder.ready() and len(pkts) < 8:
+            pkts.append(to_device_packet(builder.pop()))
+    step = jax.jit(process_scan_any, static_argnums=3)
+    c1 = init_carry(scfg)
+    pos1 = []
+    for p in pkts:
+        c1, o = step(c1, p, params, scfg)
+        pos1.append(np.asarray(o.pos))
+    chunk = jax.jit(process_scan_chunk, static_argnums=3)
+    c2 = init_carry(scfg)
+    for k in range(0, 8, 4):
+        c2, o = chunk(c2, stack_scan_packets(pkts[k : k + 4]), params, scfg)
+        for i in range(4):
+            np.testing.assert_array_equal(pos1[k + i], np.asarray(o.pos[i]))
+    np.testing.assert_array_equal(
+        np.asarray(c1.state.pos), np.asarray(c2.state.pos)
+    )
+    np.testing.assert_array_equal(np.asarray(c1.vm.mom), np.asarray(c2.vm.mom))
