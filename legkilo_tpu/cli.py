@@ -166,6 +166,7 @@ def cmd_sim(args: argparse.Namespace) -> int:
     results = run_offline(
         cfg, scans, events,
         resume=args.resume, save_ckpt=args.save_ckpt,
+        chunk=args.chunk,
     )
     wall = time.perf_counter() - t0
 
@@ -624,6 +625,9 @@ def main(argv=None) -> int:
                        help="write a filter checkpoint (.npz) at stream end")
     p_sim.add_argument("--resume", default=None,
                        help="restore a checkpoint before replay")
+    p_sim.add_argument("--chunk", type=int, default=0,
+                       help="replay N scans per device dispatch (offline "
+                            "throughput mode; 0 = per-scan streaming)")
     p_sim.add_argument("--skip_scans", type=int, default=0,
                        help="with --resume: skip the first N (already "
                             "processed) scans and their events")

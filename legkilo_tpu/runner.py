@@ -357,12 +357,24 @@ def run_offline(
     return_cloud: bool = False,
     resume: Optional[str] = None,
     save_ckpt: Optional[str] = None,
+    chunk: int = 0,
 ) -> List[ScanResult]:
     """Replay pre-loaded streams through the filter (dataset/sim replay).
 
     ``resume`` restores a checkpoint before replay (feed only scans/events
     after the checkpointed scan; buffered in-between events are restored
-    from the checkpoint itself); ``save_ckpt`` snapshots at stream end."""
+    from the checkpoint itself); ``save_ckpt`` snapshots at stream end.
+
+    ``chunk`` > 1 replays in offline-throughput mode: all packets are
+    staged first, then rolled ``chunk`` scans per dispatch through
+    ``process_scan_chunk`` (bit-identical to per-scan stepping; amortizes
+    the host dispatch floor — docs/PERF_NOTES.md "Round-2 rig").  World
+    clouds are not returned in chunked mode (``return_cloud`` must be
+    False: a chunk would hold K full clouds on device)."""
+    if chunk > 1:
+        if return_cloud:
+            raise ValueError("chunked replay does not support return_cloud")
+        return _run_offline_chunked(cfg, scans, events, chunk, resume, save_ckpt)
     runner = OdometryRunner(cfg, return_cloud=return_cloud)
     if resume:
         step = runner.load_checkpoint(resume)
@@ -386,3 +398,102 @@ def run_offline(
         path = runner.save_checkpoint(save_ckpt)
         log.info("Saved checkpoint to %s", path)
     return runner.results
+
+
+def _run_offline_chunked(
+    cfg: Config,
+    scans: Sequence[RawScan],
+    events: Sequence,
+    chunk: int,
+    resume: Optional[str],
+    save_ckpt: Optional[str],
+) -> List[ScanResult]:
+    """Stage every packet, then replay ``chunk`` scans per device dispatch."""
+    from .core.filter import process_scan_chunk, stack_scan_packets
+
+    runner = OdometryRunner(cfg)
+    if resume:
+        step0 = runner.load_checkpoint(resume)
+        log.info("Resumed from %s at step %d", resume, step0)
+    use_kin = not cfg.only_imu_use
+    b = runner.builder
+    ev_iter = iter(sorted(events, key=lambda e: e.time))
+    pending = next(ev_iter, None)
+    staged = []  # (first RawScan of packet, HostPacket)
+    for scan in scans:
+        while pending is not None and pending.time <= scan.end_time + 0.5:
+            if use_kin:
+                b.add_kin_imu(pending)
+            else:
+                b.add_imu(pending)
+            pending = next(ev_iter, None)
+        b.add_scan(scan)
+        while b.ready():
+            raw = b._scans[0]
+            pkt = b.pop()
+            if pkt is not None:
+                staged.append((raw, pkt))
+    results: List[ScanResult] = []
+    i0 = 0
+    if not runner.initialized and staged:
+        raw0, pkt0 = staged[0]
+        runner._initialize(raw0, pkt0)
+        results.append(
+            ScanResult(
+                time=pkt0.end_time,
+                rot=np.asarray(runner.carry.state.rot),
+                pos=np.asarray(runner.carry.state.pos),
+                n_matched=0,
+                n_points=0,
+                n_raw=pkt0.n_raw,
+            )
+        )
+        i0 = 1
+    step_chunk = jax.jit(process_scan_chunk, static_argnums=3)
+    idx = i0
+    while idx < len(staged):
+        grp = staged[idx : idx + chunk]
+        idx += len(grp)
+        devs = [to_device_packet(p) for _, p in grp]
+        if len(devs) == chunk:
+            runner.carry, outs = step_chunk(
+                runner.carry, stack_scan_packets(devs),
+                runner.params, runner.scfg,
+            )
+            outs = jax.tree.map(np.asarray, outs)
+            per_scan = [jax.tree.map(lambda a, j=j: a[j], outs)
+                        for j in range(chunk)]
+        else:  # ragged tail: per-scan steps (same semantics)
+            per_scan = []
+            for dv in devs:
+                runner.carry, out = runner._step(
+                    runner.carry, dv, runner.params, runner.scfg
+                )
+                per_scan.append(jax.tree.map(np.asarray, out))
+        for (_, hp), out in zip(grp, per_scan):
+            results.append(
+                ScanResult(
+                    time=hp.end_time,
+                    rot=out.rot,
+                    pos=out.pos,
+                    n_matched=int(out.n_matched),
+                    n_points=int(out.n_points),
+                    n_raw=hp.n_raw,
+                )
+            )
+            if out.n_cap_dropped is not None and int(out.n_cap_dropped):
+                log.warning(
+                    "cap overflow: %d valid points beyond match/insert cap",
+                    int(out.n_cap_dropped),
+                )
+            mo = out.map_overflow
+            if mo is not None and (int(mo[0]) or int(mo[2])):
+                log.warning(
+                    "map overflow: %d insert rows beyond insert_row_cap, "
+                    "%d slot claims failed", int(mo[0]), int(mo[2]),
+                )
+    runner.results = results
+    if save_ckpt:
+        path = runner.save_checkpoint(save_ckpt)
+        log.info("Saved checkpoint to %s", path)
+    return results

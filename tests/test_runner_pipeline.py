@@ -64,3 +64,17 @@ def test_flush_is_idempotent_and_ordered():
     assert len(runner.results) == n_before + len(flushed)
     times = [r.time for r in runner.results]
     assert times == sorted(times)
+
+
+def test_chunked_run_offline_matches_streaming():
+    """run_offline(chunk=4) must reproduce the streaming trajectory
+    bit-for-bit (including the ragged per-scan tail)."""
+    data = sim.simulate(sim.SimConfig(duration=2.0, scan_points=1500, seed=6))
+    r_stream = run_offline(_cfg(2), data.scans, data.imu)
+    r_chunk = run_offline(_cfg(0), data.scans, data.imu, chunk=4)
+    assert len(r_stream) == len(r_chunk) >= 15
+    for a, b in zip(r_stream, r_chunk):
+        assert a.time == b.time
+        np.testing.assert_array_equal(a.pos, b.pos)
+        np.testing.assert_array_equal(a.rot, b.rot)
+        assert a.n_matched == b.n_matched
