@@ -272,9 +272,24 @@ def orchestrate() -> int:
         return None, f"{mode}: rc={r.returncode} stderr={r.stderr[-1500:]}"
 
     errs = []
-    best, err = attempt("unpinned", max(120.0, budget - 60.0))
+    # Attempt 1: unpinned chunked replay (the headline configuration; its
+    # compile cache is committed, so this normally returns in ~1-2 min).
+    # Cap it at roughly half the budget: a FRESH chunked compile through
+    # this tunnel can run ~20+ min, and we must leave room for the
+    # per-scan fallback whose fresh compile is several times cheaper.
+    best, err = attempt("unpinned", max(120.0, budget * 0.5))
     if err:
         errs.append(err)
+    # Attempt 2 (only if attempt 1 produced nothing): per-scan stepping —
+    # smaller program, committed cache, known-fast fresh compile.
+    if best is None:
+        remaining = budget - (time.monotonic() - t0)
+        best, err = attempt(
+            "unpinned", max(120.0, remaining - 60.0),
+            extra_env={"LEGKILO_BENCH_CHUNK": "1"},
+        )
+        if err:
+            errs.append(err)
 
     # Opportunistic pinned upgrade: fresh compile only (a matching stale
     # cache entry would crash the call), so point it at a throwaway dir.
