@@ -47,9 +47,10 @@ def main() -> None:
 
     def build(bucket_ms=4.0, nb=28, p=256, probe=4, insert_rounds=1,
               row_cap=4096, refit_budget=1024, caps=3584, use_pallas=True,
-              use_pallas_match=True, pipeline="deferred", reuse_probe=True):
+              use_pallas_match=True, pipeline="deferred", reuse_probe=True,
+              kin=False):
         cfg = Config()
-        cfg.only_imu_use = True
+        cfg.only_imu_use = not kin
         cfg.lidar.filter_num = 1
         cfg.lidar.blind = 0.3
         cfg.lidar.voxel_grid_resolution = 0.3
@@ -64,7 +65,7 @@ def main() -> None:
         cfg.voxel_map.probe_length = probe
         scfg = StaticConfig(
             map_cfg=map_config_from(cfg.voxel_map),
-            use_kin=False,
+            use_kin=kin,
             dept_err=cfg.voxel_map.dept_err,
             beam_err=cfg.voxel_map.beam_err,
             pipeline=pipeline,
@@ -81,8 +82,8 @@ def main() -> None:
             g_over_acc_norm=jnp.asarray(1.0),
         )
         builder = PacketBuilder(cfg)
-        for ev in data.imu:
-            builder.add_imu(ev)
+        for ev in (data.kin if kin else data.imu):
+            (builder.add_kin_imu if kin else builder.add_imu)(ev)
         packets = []
         for scan in data.scans:
             builder.add_scan(scan)
@@ -122,6 +123,8 @@ def main() -> None:
         "refit2048": dict(refit_budget=2048),
         "noreuse": dict(reuse_probe=False),
         "sequential": dict(pipeline="sequential"),
+        "kin": dict(kin=True),
+        "kin_sequential": dict(kin=True, pipeline="sequential"),
     }
     sel = [v for v in args.variants.split(",") if v] or list(variants)
     for name in sel:
