@@ -154,6 +154,9 @@ def main() -> None:
     # ~55 us host dispatch (docs/PERF_NOTES.md "Round-2 rig"), per-scan
     # replay latency is dispatch-bound; chunking amortizes the floor.
     chunk = max(1, int(os.environ.get("LEGKILO_BENCH_CHUNK", "8")))
+    # A large user-set chunk can collapse the feed to 0-1 windows (empty
+    # timed region / IndexError); keep at least two windows.
+    chunk = min(chunk, max(1, len(dev_packets) // 2))
 
     def measure(pinned: bool) -> float:
         carry = init_carry(scfg)
@@ -293,13 +296,20 @@ def orchestrate() -> int:
 
     # Opportunistic pinned upgrade: fresh compile only (a matching stale
     # cache entry would crash the call), so point it at a throwaway dir.
+    # Force per-scan stepping: the pinned layout's measured win is per-scan,
+    # and a fresh CHUNKED compile (~23 min, docs/PERF_NOTES.md) can never
+    # finish inside the pinned cap — inheriting chunk>1 would guarantee a
+    # timeout and waste the budget.
     remaining = budget - (time.monotonic() - t0)
     if remaining > pinned_cap + 30.0 or best is None:
         tmp = tempfile.mkdtemp(prefix="jax_cache_pin_")
         try:
             pinned, err = attempt(
                 "pinned", min(pinned_cap, max(120.0, remaining - 30.0)),
-                extra_env={"LEGKILO_BENCH_CACHE_DIR": tmp},
+                extra_env={
+                    "LEGKILO_BENCH_CACHE_DIR": tmp,
+                    "LEGKILO_BENCH_CHUNK": "1",
+                },
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

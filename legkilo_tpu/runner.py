@@ -435,8 +435,11 @@ def _run_offline_chunked(
                 staged.append((raw, pkt))
     results: List[ScanResult] = []
     i0 = 0
-    if not runner.initialized and staged:
-        raw0, pkt0 = staged[0]
+    # Mirror _drain's retry: an event-less first packet leaves the runner
+    # uninitialized, so keep trying subsequent packets until init succeeds
+    # (otherwise every scan would filter against an uninitialized carry).
+    while not runner.initialized and i0 < len(staged):
+        raw0, pkt0 = staged[i0]
         runner._initialize(raw0, pkt0)
         results.append(
             ScanResult(
@@ -448,7 +451,7 @@ def _run_offline_chunked(
                 n_raw=pkt0.n_raw,
             )
         )
-        i0 = 1
+        i0 += 1
     step_chunk = jax.jit(process_scan_chunk, static_argnums=3)
     idx = i0
     while idx < len(staged):
@@ -481,6 +484,11 @@ def _run_offline_chunked(
                     n_raw=hp.n_raw,
                 )
             )
+            if hp.dropped_points or hp.dropped_events:
+                log.warning(
+                    "packet overflow: dropped %d points, %d events",
+                    hp.dropped_points, hp.dropped_events,
+                )
             if out.n_cap_dropped is not None and int(out.n_cap_dropped):
                 log.warning(
                     "cap overflow: %d valid points beyond match/insert cap",

@@ -94,13 +94,17 @@ def main() -> None:
     def measure(scfg, params, dev_packets, pipeline, reps):
         step_fn = process_scan_deferred if pipeline == "deferred" else process_scan
         best = np.inf
-        for _ in range(reps):
+        compile_s = 0.0
+        for rep in range(reps):
             carry = init_carry(scfg)
             step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
             t0 = time.perf_counter()
             carry, out = step(carry, dev_packets[0], params, scfg)
             jax.block_until_ready(out.pos)
-            compile_s = time.perf_counter() - t0
+            if rep == 0:
+                # Later reps hit the in-process compile cache; only the
+                # first rep's first call measures the real compile cost.
+                compile_s = time.perf_counter() - t0
             for pk in dev_packets[1:10]:
                 carry, out = step(carry, pk, params, scfg)
             jax.block_until_ready(out.pos)
