@@ -42,6 +42,30 @@ def box_world(half_x=6.0, half_y=5.0, height=3.0) -> List[Plane]:
     ]
 
 
+def corridor_world(half_y=2.0, height=2.5, half_x=1e4) -> List[Plane]:
+    """A long corridor along +x: floor, ceiling, 2 side walls; end caps
+    pushed beyond sensor range.  Geometrically degenerate along x — every
+    visible plane normal is ⊥ x̂, so forward translation is unobservable
+    from LiDAR alone and must come from IMU/leg-kinematic fusion (the
+    regime the reference's contact-velocity update, KILO.cc:260-314, is
+    built for)."""
+    e = np.eye(3)
+    return [
+        Plane(np.array([0.0, 0.0, 0.0]), e[2]),
+        Plane(np.array([0.0, 0.0, height]), -e[2]),
+        Plane(np.array([0.0, half_y, 0.0]), -e[1]),
+        Plane(np.array([0.0, -half_y, 0.0]), e[1]),
+        Plane(np.array([half_x, 0.0, 0.0]), -e[0]),
+        Plane(np.array([-half_x, 0.0, 0.0]), e[0]),
+    ]
+
+
+def floor_world() -> List[Plane]:
+    """A single dominant plane (open field): only z / roll / pitch are
+    LiDAR-observable — the hardest degenerate stretch."""
+    return [Plane(np.array([0.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]))]
+
+
 @dataclasses.dataclass
 class Trajectory:
     """Smooth analytic circular walk, stationary at identity until t0.
@@ -50,6 +74,19 @@ class Trajectory:
     profile so accelerations stay continuous — like the reference datasets,
     the robot stands still while the filter initializes (StateInitial
     assumes a stationary first packet, state_initial.hpp:30-73).
+
+    Legged-robot motion knobs (all default-off so the tame round-1/2
+    trajectory is unchanged):
+
+    * ``speed_segments`` — [(t_i, v_i)] speed retargets: at each t_i the
+      speed smoothsteps from its previous value to v_i over ``ramp``
+      seconds.  v_i = 0 gives stop-and-go.  Knots must be ≥ ramp apart.
+    * ``roll_amp`` / ``pitch_amp`` / ``gait_freq`` — body-attitude gait
+      oscillation (rad / Hz) superimposed on the path heading, the
+      defining excitation of quadruped data (what the reference's
+      contact-velocity fusion at KILO.cc:260-314 exists to survive).
+      Gated by the current-speed fraction so the stationary init window
+      stays truly stationary.
     """
 
     speed: float = 0.8
@@ -59,17 +96,39 @@ class Trajectory:
     bob_freq: float = 2.0   # Hz
     t0: float = 0.5         # stationary until here
     ramp: float = 1.0       # smoothstep ramp duration
+    speed_segments: Optional[List[Tuple[float, float]]] = None
+    roll_amp: float = 0.0   # rad
+    pitch_amp: float = 0.0  # rad
+    gait_freq: float = 2.0  # Hz
+
+    def _knots(self) -> List[Tuple[float, float]]:
+        knots = [(self.t0, self.speed)]
+        if self.speed_segments:
+            knots += sorted(self.speed_segments)
+        return knots
 
     def _arc(self, t: float) -> Tuple[float, float]:
-        """Arc length s(t) and ramp factor q(t) in [0, 1]."""
-        if t <= self.t0:
-            return 0.0, 0.0
-        u = min((t - self.t0) / self.ramp, 1.0)
-        q = 3 * u * u - 2 * u**3
-        s = self.ramp * (u**3 - 0.5 * u**4)  # integral of smoothstep
-        if t > self.t0 + self.ramp:
-            s += t - self.t0 - self.ramp
-        return self.speed * s, q
+        """Arc length s(t) and activity factor q(t) = v(t)/max_speed.
+
+        v(t) is piecewise: constant between knots, smoothstep-blended over
+        ``ramp`` at each knot (C¹ velocity → continuous acceleration, so
+        the numeric second differences in ``derivatives`` stay clean)."""
+        knots = self._knots()
+        vmax = max(abs(v) for _, v in knots) or 1.0
+        s, v, t_cur = 0.0, 0.0, 0.0
+        for ti, vtgt in knots:
+            if t <= ti:
+                return s + v * (t - t_cur), abs(v) / vmax
+            s += v * (ti - t_cur)
+            u = min((t - ti) / self.ramp, 1.0)
+            q = 3 * u * u - 2 * u**3
+            # ∫ smoothstep du = u³ − u⁴/2 (the round-1 formula, generalized
+            # to a v→vtgt blend instead of 0→speed).
+            s += self.ramp * (v * u + (vtgt - v) * (u**3 - 0.5 * u**4))
+            if t <= ti + self.ramp:
+                return s, abs(v + (vtgt - v) * q) / vmax
+            v, t_cur = vtgt, ti + self.ramp
+        return s + v * (t - t_cur), abs(v) / vmax
 
     def pose(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
         s, q = self._arc(t)
@@ -84,6 +143,15 @@ class Trajectory:
         yaw = a
         c, sn = np.cos(yaw), np.sin(yaw)
         rot = np.array([[c, -sn, 0.0], [sn, c, 0.0], [0.0, 0.0, 1.0]])
+        if self.roll_amp or self.pitch_amp:
+            tau = 2 * np.pi * self.gait_freq * (t - self.t0)
+            roll = q * self.roll_amp * np.sin(tau)
+            pitch = q * self.pitch_amp * np.cos(tau)
+            cr, sr = np.cos(roll), np.sin(roll)
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            r_x = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+            r_y = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+            rot = rot @ r_x @ r_y
         return rot, pos
 
     def derivatives(self, t: float, eps: float = 1e-4):
