@@ -1,0 +1,96 @@
+"""CI guard for the reference-semantics emulator (tools/refemu).
+
+Short-sim versions of the committed parity study (docs/PARITY_EMULATOR.md):
+
+* the float64 emulator, running the reference's own algorithm (pointer
+  octrees, N x N innovation update, per-bucket insertion, unit-mixed
+  neighbor retry), must track ground truth — proving the oracle itself is
+  sound; and
+* with every deviation toggle flipped to the TPU-side semantics, the
+  emulator must reproduce the legkilo_tpu trajectory to a few mm —
+  proving the documented deviations fully account for the difference
+  between the frameworks.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from legkilo_tpu.config import Config           # noqa: E402
+from legkilo_tpu.models import sim              # noqa: E402
+from legkilo_tpu.runner import run_offline      # noqa: E402
+from refemu.emulator import EmuParams, run_emulator  # noqa: E402
+
+
+def _cfg(only_imu=True):
+    cfg = Config()
+    cfg.only_imu_use = only_imu
+    cfg.lidar.filter_num = 1
+    cfg.lidar.blind = 0.3
+    cfg.lidar.voxel_grid_resolution = 0.4
+    cfg.voxel_map.capacity_log2 = 14
+    cfg.voxel_map.max_layer = 2
+    cfg.tpu.max_buckets = 56
+    cfg.tpu.max_points_per_bucket = 96
+    cfg.tpu.max_imu_per_bucket = 3
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def short_sim():
+    traj = sim.Trajectory(speed=0.8, roll_amp=0.05, pitch_amp=0.03, bob=0.03)
+    return sim.simulate(
+        sim.SimConfig(duration=4.0, scan_points=2000, seed=3), traj=traj
+    )
+
+
+def _gt_ate(data, times, poss):
+    _, gt_pos = data.gt_in_filter_frame()
+    gtm = {round(t, 6): i for i, t in enumerate(data.gt_times)}
+    sel = [i for i, t in enumerate(times) if round(t, 6) in gtm]
+    idx = [gtm[round(times[i], 6)] for i in sel]
+    return float(
+        np.sqrt(np.mean(np.sum((poss[sel] - gt_pos[idx]) ** 2, axis=1)))
+    )
+
+
+def test_emulator_reference_semantics_tracks_gt(short_sim):
+    p = EmuParams.from_config(_cfg(True))
+    times, rots, poss, matched = run_emulator(short_sim.scans, short_sim.imu, p)
+    assert len(times) >= 35
+    # Steady-state scans must match hundreds of plane residuals.
+    assert matched[len(matched) // 2 :].mean() > 200
+    ate = _gt_ate(short_sim, times, poss)
+    assert ate < 0.05, f"emulator ATE {ate:.4f} m"
+
+
+def test_tpu_toggles_reproduce_repo_trajectory(short_sim):
+    """Emulator with all deviation toggles at TPU-side semantics vs the
+    actual legkilo_tpu pipeline: agreement within a few mm (measured
+    ~1-2 mm RMSE on 5-60 s sims) — far inside the 2%-of-path BASELINE.md
+    budget."""
+    cfg = _cfg(True)
+    results = run_offline(cfg, short_sim.scans, short_sim.imu)
+    rt = np.array([r.time for r in results])
+    rp = np.stack([r.pos for r in results])
+
+    p = EmuParams.from_config(cfg)
+    p.point_update = "information"
+    p.neighbor_retry = "fixed"
+    p.insert_timing = "scan_end"
+    p.requantize_after_downsample = True
+    p.init_imu_a_from_grav = True
+    times, rots, poss, _ = run_emulator(short_sim.scans, short_sim.imu, p)
+
+    rm = {round(t, 6): i for i, t in enumerate(rt)}
+    pairs = [(i, rm[round(t, 6)]) for i, t in enumerate(times)
+             if round(t, 6) in rm]
+    assert len(pairs) >= 30
+    d = np.array([np.linalg.norm(poss[i] - rp[j]) for i, j in pairs])
+    rmse = float(np.sqrt((d ** 2).mean()))
+    assert rmse < 0.01, f"emulator(tpu-all) vs repo rmse {rmse:.4f} m"
+    assert d.max() < 0.03, f"max divergence {d.max():.4f} m"
