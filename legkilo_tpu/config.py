@@ -138,6 +138,12 @@ class TpuConfig:
     # synchronous (materialize every scan before the next dispatch).
     pipeline_depth: int = 2
     dtype: str = "float32"
+    # Re-symmetrize the covariance once per scan (P <- (P+P^T)/2).  The
+    # Joseph-free downdate P -= KHP (eskf.cc:91-145) is run ~50x per scan;
+    # in f32 the accumulated asymmetry is measurable over minutes-long runs
+    # (tools/longrun_stability.py; docs/PERF_NOTES.md "Long-horizon f32
+    # stability").  One 30x30 transpose-add per scan is free.
+    symmetrize_cov: bool = True
 
 
 @dataclasses.dataclass
@@ -220,6 +226,7 @@ _TPU_KEY_MAP = {
     "tpu_chain_impl": "chain_impl",
     "tpu_chain_unroll": "chain_unroll",
     "tpu_insert_reuse_probe": "insert_reuse_probe",
+    "tpu_symmetrize_cov": "symmetrize_cov",
     "tpu_pipeline_depth": "pipeline_depth",
     "tpu_dtype": "dtype",
 }

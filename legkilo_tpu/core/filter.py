@@ -113,6 +113,10 @@ class StaticConfig(NamedTuple):
     # Fused pipeline: run the match phase's per-point math in two Pallas
     # kernels (ops/pallas/match_geom.py); requires match_cap % 128 == 0.
     use_pallas_match: bool = False
+    # Re-symmetrize the covariance once per scan: the ~50 Joseph-free
+    # downdates per scan (eskf.cc:91-145) accumulate f32 asymmetry over
+    # long runs (tools/longrun_stability.py measurements in PERF_NOTES).
+    symmetrize_cov: bool = True
 
 
 class FilterCarry(NamedTuple):
@@ -377,6 +381,7 @@ def process_scan(
             last_slide_pos=jnp.where(trigger, carry.state.pos, carry.last_slide_pos),
         )
 
+    carry = maybe_symmetrize_cov(carry, scfg)
     out = ScanOutput(
         rot=carry.state.rot,
         pos=carry.state.pos,
@@ -387,6 +392,19 @@ def process_scan(
         map_overflow=carry.vm.ocnt - ocnt0,
     )
     return carry, out
+
+
+def maybe_symmetrize_cov(carry: FilterCarry, scfg: StaticConfig) -> FilterCarry:
+    """Per-scan covariance re-symmetrization (SURVEY.md §7 hard-parts plan).
+
+    The reference runs in float64 where the ~50 Joseph-free downdates per
+    scan (eskf.cc:104,112,134,144) stay symmetric to ~1e-12; in f32 the
+    asymmetry drifts measurably over minutes (tools/longrun_stability.py).
+    P <- (P+P^T)/2 once per scan keeps it bounded at no measurable cost."""
+    if not scfg.symmetrize_cov:
+        return carry
+    cov = carry.cov
+    return carry._replace(cov=0.5 * (cov + jnp.swapaxes(cov, -1, -2)))
 
 
 def process_scan_any(

@@ -38,7 +38,14 @@ import jax
 import jax.numpy as jnp
 
 from . import eskf
-from .filter import FilterCarry, FilterParams, ScanOutput, ScanPacket, StaticConfig
+from .filter import (
+    FilterCarry,
+    FilterParams,
+    ScanOutput,
+    ScanPacket,
+    StaticConfig,
+    maybe_symmetrize_cov,
+)
 from .plane_fit import calc_body_cov
 from .so3 import exp_so3, skew
 from .voxel_map import (
@@ -635,7 +642,8 @@ def process_scan_deferred(
     if scfg.chain_impl == "fused":
         # Handles both the all-elementwise lax.scan chain and (use_pallas)
         # the single fused Pallas kernel over the same sufficient statistics.
-        return _process_scan_fused(carry, packet, params, scfg)
+        carry, out = _process_scan_fused(carry, packet, params, scfg)
+        return maybe_symmetrize_cov(carry, scfg), out
 
     ocnt0 = carry.vm.ocnt
     p_i, normal, center, r_meas, matched, crossmat = _batched_match(
@@ -690,6 +698,7 @@ def process_scan_deferred(
             last_slide_pos=jnp.where(trigger, carry.state.pos, carry.last_slide_pos),
         )
 
+    carry = maybe_symmetrize_cov(carry, scfg)
     n_valid = jnp.sum(mask.astype(jnp.int32))
     caps = [c for c in (scfg.match_cap, scfg.insert_cap) if c and c < nb * p]
     cap_dropped = (
