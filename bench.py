@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -114,14 +115,24 @@ def main() -> None:
         g_over_acc_norm=jnp.asarray(1.0),
     )
 
-    builder = PacketBuilder(cfg)
-    for ev in data.imu:
-        builder.add_imu(ev)
-    packets = []
-    for scan in data.scans:
-        builder.add_scan(scan)
-        while builder.ready():
-            packets.append(builder.pop())
+    def build_packets(kin: bool):
+        c = cfg
+        if kin:
+            import copy
+
+            c = copy.deepcopy(cfg)
+            c.only_imu_use = False
+        b = PacketBuilder(c)
+        for ev in (data.kin if kin else data.imu):
+            (b.add_kin_imu if kin else b.add_imu)(ev)
+        pks = []
+        for scan in data.scans:
+            b.add_scan(scan)
+            while b.ready():
+                pks.append(b.pop())
+        return pks
+
+    packets = build_packets(kin=False)
     assert len(packets) >= 40, f"only {len(packets)} packets"
 
     if pipeline == "deferred":
@@ -153,12 +164,14 @@ def main() -> None:
     # stepping, tests/test_filter_deferred.py).  Once the device outruns the
     # ~55 us host dispatch (docs/PERF_NOTES.md "Round-2 rig"), per-scan
     # replay latency is dispatch-bound; chunking amortizes the floor.
-    chunk = max(1, int(os.environ.get("LEGKILO_BENCH_CHUNK", "8")))
-    # A large user-set chunk can collapse the feed to 0-1 windows (empty
-    # timed region / IndexError); keep at least two windows.
-    chunk = min(chunk, max(1, len(dev_packets) // 2))
+    chunk_req = max(1, int(os.environ.get("LEGKILO_BENCH_CHUNK", "8")))
 
-    def measure(pinned: bool) -> float:
+    def measure(pinned: bool, scfg=scfg, dev_packets=dev_packets,
+                chunk_override=None) -> float:
+        # A large user-set chunk can collapse the feed to 0-1 windows (empty
+        # timed region / IndexError); keep at least two windows.
+        chunk = chunk_override if chunk_override else chunk_req
+        chunk = min(chunk, max(1, len(dev_packets) // 2))
         carry = init_carry(scfg)
         if pinned:
             def _fmt(x):
@@ -218,19 +231,40 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return dt / (len(timed) * scans_per_call) * 1e3
 
-    ms_per_scan = measure(pinned=os.environ["LEGKILO_BENCH_LAYOUT"] == "pinned")
+    pinned = os.environ["LEGKILO_BENCH_LAYOUT"] == "pinned"
+    ms_per_scan = measure(pinned=pinned)
+
+    # Leg-fusion (kin+IMU) mode — the system's namesake capability
+    # (KILO.cc:260-314): same workload with kinematic packets and the
+    # 18-row contact-velocity update.  Opportunistic: a failure (e.g. a
+    # compile timeout upstream) must not cost the headline number.
+    kin_ms = None
+    if os.environ.get("LEGKILO_BENCH_KIN", "1") == "1":
+        try:
+            kin_packets = [to_device_packet(p) for p in build_packets(kin=True)]
+            # Per-scan stepping: the honest latency metric for the mode,
+            # and a several-times-cheaper fresh compile than the chunked
+            # program (budget safety on cold caches).
+            kin_ms = measure(
+                pinned=pinned,
+                scfg=scfg._replace(use_kin=True),
+                dev_packets=kin_packets,
+                chunk_override=1,
+            )
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"kin bench failed: {exc!r}", file=sys.stderr)
 
     baseline_ms = 12.5  # midpoint of the reference's 5-20 ms claim
-    print(
-        json.dumps(
-            {
-                "metric": "scan_latency_ms",
-                "value": round(ms_per_scan, 3),
-                "unit": "ms/scan",
-                "vs_baseline": round(baseline_ms / ms_per_scan, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "scan_latency_ms",
+        "value": round(ms_per_scan, 3),
+        "unit": "ms/scan",
+        "vs_baseline": round(baseline_ms / ms_per_scan, 3),
+    }
+    if kin_ms is not None:
+        out["kin_value"] = round(kin_ms, 3)
+        out["kin_vs_baseline"] = round(baseline_ms / kin_ms, 3)
+    print(json.dumps(out))
 
 
 def orchestrate() -> int:
