@@ -76,6 +76,13 @@ class VoxelMapConfig:
     # Max plane refits per insert call; slots beyond the budget keep
     # accumulating new_n and refit on a later scan (graceful degradation).
     refit_budget: int = 2048
+    # Storage dtype for the two big float tables (mom 69 + plane 31 floats
+    # per slot): "f32" | "f16" | "bf16".  Reduced precision halves the
+    # map's HBM footprint — the fleet replicas-per-chip limiter
+    # (docs/PERF_NOTES.md fleet table).  Moments are voxel-center-relative
+    # (bounded magnitudes) so f16 accumulation stays mm-accurate; refit
+    # math always runs in the compute dtype.
+    storage_dtype: str = "f32"
 
 
 @dataclasses.dataclass
@@ -209,6 +216,7 @@ _VOXEL_KEY_MAP = {
     "tpu_map_insert_new_cap": "insert_new_cap",
     "tpu_map_insert_row_cap": "insert_row_cap",
     "tpu_map_refit_budget": "refit_budget",
+    "tpu_map_storage_dtype": "storage_dtype",
 }
 _TPU_KEY_MAP = {
     "tpu_max_buckets": "max_buckets",

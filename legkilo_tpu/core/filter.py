@@ -289,7 +289,11 @@ def _point_bucket(carry: FilterCarry, params: FilterParams, scfg: StaticConfig,
     h6 = jnp.concatenate([cr_u, m.normal], axis=-1)          # [P, 6]
     z = -m.signed_dist
     j_nq = jnp.concatenate([p_w - m.center, -m.normal], axis=-1)
-    single_l = jnp.einsum("ni,nij,nj->n", j_nq, m.plane_var, j_nq)
+    # PSD clamp: reduced-precision plane_var storage can yield a slightly
+    # negative quadratic form; a negative R row would corrupt the update.
+    single_l = jnp.maximum(
+        jnp.einsum("ni,nij,nj->n", j_nq, m.plane_var, j_nq), 0.0
+    )
     rot_ext = st.rot @ params.ext_r
     var_bw = jnp.einsum("ij,njk,lk->nil", rot_ext, body_cov, rot_ext)
     r = params.noise.lidar_point_meas_ratio * (

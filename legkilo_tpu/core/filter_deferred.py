@@ -105,7 +105,9 @@ def _match_compact_stats(carry, packet, params, scfg, cap):
 
     # Measurement variance (KILO.cc:201-209) at predicted poses.
     j_nq = jnp.concatenate([p_w_c - m.center, -m.normal], axis=-1)
-    single_l = jnp.einsum("ci,cij,cj->c", j_nq, m.plane_var, j_nq)
+    single_l = jnp.maximum(
+        jnp.einsum("ci,cij,cj->c", j_nq, m.plane_var, j_nq), 0.0
+    )  # PSD clamp (see filter.py)
     var_bw = jnp.einsum("cij,cjk,clk->cil", rot_ext_c, body_cov_c, rot_ext_c)
     r_c = params.noise.lidar_point_meas_ratio * (
         single_l + jnp.einsum("ci,cij,cj->c", m.normal, var_bw, m.normal)
@@ -211,7 +213,7 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
 
     plane_at = carry.vm.plane.reshape(miss, -1).at[slot].get(
         mode="fill", fill_value=0.0
-    )                                                      # [2L, cap, 46]
+    ).astype(dtype)             # [2L, cap, 31]; upcast (storage may be f16)
     plane_t = plane_at.transpose(0, 2, 1).reshape(2 * L * 31, cap)
     flags_t = jnp.concatenate(
         [found.astype(dtype), isp.astype(dtype)], axis=0
@@ -296,7 +298,9 @@ def _batched_match(carry, packet, params, scfg):
 
         # Measurement variance (KILO.cc:201-209) at predicted poses.
         j_nq = jnp.concatenate([p_w_c - m.center, -m.normal], axis=-1)
-        single_l = jnp.einsum("ci,cij,cj->c", j_nq, m.plane_var, j_nq)
+        single_l = jnp.maximum(
+        jnp.einsum("ci,cij,cj->c", j_nq, m.plane_var, j_nq), 0.0
+    )  # PSD clamp (see filter.py)
         var_bw = jnp.einsum(
             "cij,cjk,clk->cil", rot_ext_c, body_cov_c, rot_ext_c
         )
@@ -335,8 +339,11 @@ def _batched_match(carry, packet, params, scfg):
     normal = m.normal.reshape(nb, p, 3)
     center = m.center.reshape(nb, p, 3)
     j_nq = jnp.concatenate([p_w - center, -normal], axis=-1)       # [NB,P,6]
-    single_l = jnp.einsum(
-        "bpi,bpij,bpj->bp", j_nq, m.plane_var.reshape(nb, p, 6, 6), j_nq
+    single_l = jnp.maximum(  # PSD clamp (see filter.py)
+        jnp.einsum(
+            "bpi,bpij,bpj->bp", j_nq, m.plane_var.reshape(nb, p, 6, 6), j_nq
+        ),
+        0.0,
     )
     var_bw = jnp.einsum("bij,bpjk,blk->bpil", rot_ext, body_cov, rot_ext)
     r_meas = params.noise.lidar_point_meas_ratio * (

@@ -73,7 +73,9 @@ _HASH_P3 = np.uint32(83492791)
 # meta row layout (frozen is derived: n >= max_points_num)
 _M_N, _M_NEW, _M_INIT, _M_PLANE = 0, 1, 2, 3
 META_DIM = 4
-MOM_DIM = 69  # symmetry-packed; see _pack_moments
+MOM_DIM = 69   # total symmetry-packed width; see _pack_moments
+MOM12_DIM = 9  # m1(3) + m2(6): geometry moments, compute-dtype table
+MOMS_DIM = 60  # s0(6) + s1(18) + s2(36): uncertainty stats, storage dtype
 PLANE_DIM = 31  # plane_var symmetric 6x6 packed to 21
 # ptab row layout: key x/y/z, occupied flag, is_plane flag (all int32)
 _T_OCC, _T_PLANE = 3, 4
@@ -98,6 +100,13 @@ class MapConfig(NamedTuple):
     insert_new_cap: int = 512  # compacted claim-path width (hinted insert)
     insert_row_cap: int = 0  # >0: ancestor-gated row compaction (hinted insert)
     use_pallas_refit: bool = False  # one-launch refit kernel (plane_fit_rows)
+    # Storage dtype for the mom/plane tables ("f32" | "f16" | "bf16").
+    # Moments are voxel-center-relative (|p~| <= half a voxel diagonal, n
+    # <= max_points_num), so f16's 11-bit mantissa keeps the accumulated
+    # sums mm-accurate while halving the two big tables' HBM bytes — the
+    # replicas-per-chip limiter for fleet replay.  Refit/match math always
+    # upcasts to the compute dtype; only the resting tables are narrow.
+    storage_dtype: str = "f32"
 
 
 def map_config_from(cfg, use_pallas_refit: bool = False) -> MapConfig:
@@ -117,16 +126,24 @@ def map_config_from(cfg, use_pallas_refit: bool = False) -> MapConfig:
         insert_row_cap=int(getattr(cfg, "insert_row_cap", 0)),
         refit_budget=int(getattr(cfg, "refit_budget", 2048)),
         use_pallas_refit=bool(use_pallas_refit),
+        storage_dtype=str(getattr(cfg, "storage_dtype", "f32")),
     )
 
 
 class VoxelMap(NamedTuple):
-    """All map state, [levels, capacity, ...] device arrays."""
+    """All map state, [levels, capacity, ...] device arrays.
+
+    ``mom`` holds the geometry moments m1/m2 (always compute dtype: the
+    plane fit subtracts m2/n - c c^T, a cancellation that reduced
+    precision cannot survive); ``moms`` holds the uncertainty statistics
+    S0/S1/S2 and may be stored narrow (MapConfig.storage_dtype) — they
+    only feed plane_var, where percent-level error is benign."""
 
     ptab: jnp.ndarray   # [L, C, PTAB_DIM] int32 probe rows (key, occ, is_plane)
     meta: jnp.ndarray   # [L, C, META_DIM]
-    mom: jnp.ndarray    # [L, C, MOM_DIM]
-    plane: jnp.ndarray  # [L, C, PLANE_DIM]
+    mom: jnp.ndarray    # [L, C, MOM12_DIM] m1(3) m2(6), compute dtype
+    moms: jnp.ndarray   # [L, C, MOMS_DIM] s0(6) s1(18) s2(36), storage dtype
+    plane: jnp.ndarray  # [L, C, PLANE_DIM] storage dtype
     # [3] int32 cumulative overflow counters — indexed by OCNT_ROWCAP
     # (insert rows dropped by insert_row_cap), OCNT_REFIT (refits deferred
     # past refit_budget; these retry on a later scan — deferral, not loss),
@@ -217,8 +234,9 @@ def _expand_pv(rows21):
     return rows21[..., list(_FULL36)].reshape(rows21.shape[:-1] + (6, 6))
 
 
-def _pack_moments(m: PlaneMoments) -> jnp.ndarray:
-    """PlaneMoments (without n) -> [..., MOM_DIM] symmetry-packed rows."""
+def _pack_moments(m: PlaneMoments) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PlaneMoments (without n) -> ([..., MOM12_DIM], [..., MOMS_DIM])
+    symmetry-packed rows (geometry m1/m2; uncertainty s0/s1/s2)."""
     lead = m.m1.shape[:-1]
     sym6 = list(_SYM6)
     m2 = m.m2.reshape(lead + (9,))[..., sym6]
@@ -227,27 +245,30 @@ def _pack_moments(m: PlaneMoments) -> jnp.ndarray:
     s2 = m.s2.reshape(lead + (9, 9))[..., sym6, :][..., :, sym6].reshape(
         lead + (36,)
     )
-    return jnp.concatenate(
-        [m.m1.reshape(lead + (3,)), m2, s0, s1, s2], axis=-1
+    return (
+        jnp.concatenate([m.m1.reshape(lead + (3,)), m2], axis=-1),
+        jnp.concatenate([s0, s1, s2], axis=-1),
     )
 
 
-def _unpack_moments(rows: jnp.ndarray, n: jnp.ndarray) -> PlaneMoments:
-    lead = rows.shape[:-1]
+def _unpack_moments(
+    rows12: jnp.ndarray, rows_s: jnp.ndarray, n: jnp.ndarray
+) -> PlaneMoments:
+    lead = rows12.shape[:-1]
     full9 = list(_FULL9)
-    m2 = rows[..., _O_M2 : _O_M2 + 6][..., full9].reshape(lead + (3, 3))
-    s0 = rows[..., _O_S0 : _O_S0 + 6][..., full9].reshape(lead + (3, 3))
+    m2 = rows12[..., 3:9][..., full9].reshape(lead + (3, 3))
+    s0 = rows_s[..., 0:6][..., full9].reshape(lead + (3, 3))
     s1 = (
-        rows[..., _O_S1 : _O_S1 + 18]
+        rows_s[..., 6:24]
         .reshape(lead + (6, 3))[..., full9, :]
         .reshape(lead + (3, 3, 3))
     )
     s2 = (
-        rows[..., _O_S2 : _O_S2 + 36]
+        rows_s[..., 24:60]
         .reshape(lead + (6, 6))[..., full9, :][..., :, full9]
         .reshape(lead + (3, 3, 3, 3))
     )
-    return PlaneMoments(n=n, m1=rows[..., 0:3], m2=m2, s0=s0, s1=s1, s2=s2)
+    return PlaneMoments(n=n, m1=rows12[..., 0:3], m2=m2, s0=s0, s1=s1, s2=s2)
 
 
 OCNT_ROWCAP, OCNT_REFIT, OCNT_CLAIM = 0, 1, 2
@@ -258,13 +279,25 @@ def _ocnt_inc(rowcap=0, refit=0, claim=0) -> jnp.ndarray:
     return jnp.stack([jnp.asarray(p, jnp.int32) for p in parts])
 
 
+def storage_dtype_of(cfg: MapConfig, compute_dtype=jnp.float32):
+    """Resolved table dtype: reduced storage applies only to f32 compute
+    (f64 runs are precision yardsticks and keep f64 tables)."""
+    if compute_dtype != jnp.float32:
+        return compute_dtype
+    return {
+        "f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16,
+    }[cfg.storage_dtype]
+
+
 def make_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelMap:
     L, C = cfg.levels, cfg.capacity
+    sd = storage_dtype_of(cfg, dtype)
     return VoxelMap(
         ptab=jnp.zeros((L, C, PTAB_DIM), dtype=jnp.int32),
         meta=jnp.zeros((L, C, META_DIM), dtype=dtype),
-        mom=jnp.zeros((L, C, MOM_DIM), dtype=dtype),
-        plane=jnp.zeros((L, C, PLANE_DIM), dtype=dtype),
+        mom=jnp.zeros((L, C, MOM12_DIM), dtype=dtype),
+        moms=jnp.zeros((L, C, MOMS_DIM), dtype=sd),
+        plane=jnp.zeros((L, C, PLANE_DIM), dtype=sd),
         ocnt=jnp.zeros((3,), dtype=jnp.int32),
     )
 
@@ -629,8 +662,12 @@ def _insert_finish(
 ) -> VoxelMap:
     """Moment accumulation, threshold logic, and budgeted refit —
     everything in insert_points after slot resolution.  Rows are
-    (point, level) pairs; callers may pre-compact them (insert_row_cap)."""
-    dtype = vm.mom.dtype
+    (point, level) pairs; callers may pre-compact them (insert_row_cap).
+
+    Compute runs in the meta/compute dtype; the mom/plane tables may be
+    narrower (MapConfig.storage_dtype) — accumulation happens at storage
+    precision, refit math upcasts."""
+    dtype = vm.meta.dtype
     L, C = cfg.levels, cfg.capacity
     R = keys.shape[0]
     miss = L * C
@@ -641,7 +678,8 @@ def _insert_finish(
     vc = (keys.astype(dtype) + 0.5) * sizes[:, None]       # [R, 3]
 
     meta_flat = vm.meta.reshape(miss, META_DIM)
-    mom_flat = vm.mom.reshape(miss, MOM_DIM)
+    mom_flat = vm.mom.reshape(miss, MOM12_DIM)
+    moms_flat = vm.moms.reshape(miss, MOMS_DIM)
     plane_flat = vm.plane.reshape(miss, PLANE_DIM)
     # Contribution gating: frozen slots (n >= max_points_num) stop
     # accumulating (update_enable_, voxel_map.cc:199-204).
@@ -650,12 +688,15 @@ def _insert_finish(
     tgt = jnp.where(contrib, slot, miss)
 
     p_rel = p_w_rows - vc
-    mom_rows = _pack_moments(point_moments(p_rel, var_rows))
+    mom_rows, moms_rows = _pack_moments(point_moments(p_rel, var_rows))
 
     counts = jnp.zeros((R, META_DIM), dtype=dtype)
     counts = counts.at[:, _M_N].set(1.0).at[:, _M_NEW].set(1.0)
     meta_flat = meta_flat.at[tgt].add(counts, mode="drop")
     mom_flat = mom_flat.at[tgt].add(mom_rows, mode="drop")
+    moms_flat = moms_flat.at[tgt].add(
+        moms_rows.astype(moms_flat.dtype), mode="drop"
+    )
 
     # Identify slots whose thresholds were crossed.
     meta_t = meta_flat.at[tgt].get(mode="fill", fill_value=0.0)
@@ -690,7 +731,13 @@ def _insert_finish(
     )
 
     meta_r = meta_flat.at[fs].get(mode="fill", fill_value=0.0)
-    mom_r = mom_flat.at[fs].get(mode="fill", fill_value=0.0)
+    mom_r = jnp.concatenate(
+        [
+            mom_flat.at[fs].get(mode="fill", fill_value=0.0),
+            moms_flat.at[fs].get(mode="fill", fill_value=0.0).astype(dtype),
+        ],
+        axis=-1,
+    )
     if cfg.use_pallas_refit and cfg.refit_budget % 128 == 0:
         # One-launch fit kernel over transposed rows — folds the ~380 XLA
         # entry instructions of fit_planes into a single dispatch
@@ -706,7 +753,10 @@ def _insert_finish(
         meta_fit = out[PLANE_DIM : PLANE_DIM + META_DIM].T
     else:
         n_r = jnp.maximum(meta_r[:, _M_N], 1.0)
-        fit = fit_planes(_unpack_moments(mom_r, n_r), cfg.planer_threshold)
+        fit = fit_planes(
+            _unpack_moments(mom_r[:, :MOM12_DIM], mom_r[:, MOM12_DIM:], n_r),
+            cfg.planer_threshold,
+        )
         plane_rows = jnp.concatenate(
             [
                 fit.center_rel,
@@ -726,7 +776,17 @@ def _insert_finish(
             ],
             axis=-1,
         )
-    plane_flat = plane_flat.at[fs].set(plane_rows, mode="drop")
+    if plane_flat.dtype != plane_rows.dtype:
+        # Degenerate scatters (lam_min ~= lam_mid) make plane_var entries
+        # ~1/(n*eps)^2 — finite in f32, but inf after an f16 downcast, and
+        # one inf row poisons every later sigma_l it touches.  Saturating
+        # at the storage dtype's max keeps the semantics ("uncertainty so
+        # large the 3-sigma gate never passes") without the poison.
+        fmax = float(jnp.finfo(plane_flat.dtype).max)
+        plane_rows = jnp.clip(plane_rows, -fmax, fmax)
+    plane_flat = plane_flat.at[fs].set(
+        plane_rows.astype(plane_flat.dtype), mode="drop"
+    )
     meta_flat = meta_flat.at[fs].set(meta_fit, mode="drop")
     # Mirror is_plane into the probe rows (match-phase source of truth).
     ptab_flat = ptab_flat.at[fs, _T_PLANE].set(
@@ -742,7 +802,8 @@ def _insert_finish(
     return vm._replace(
         ptab=ptab_flat.reshape(L, C, PTAB_DIM),
         meta=meta_flat.reshape(L, C, META_DIM),
-        mom=mom_flat.reshape(L, C, MOM_DIM),
+        mom=mom_flat.reshape(L, C, MOM12_DIM),
+        moms=moms_flat.reshape(L, C, MOMS_DIM),
         plane=plane_flat.reshape(L, C, PLANE_DIM),
         ocnt=vm.ocnt + inc,
     )
@@ -764,7 +825,7 @@ def match_points(
     All 2 x levels candidates are probed/gathered/gated in ONE flattened
     batch; only the tiny chain-eligibility/selection logic runs per level.
     """
-    dtype = vm.mom.dtype
+    dtype = vm.meta.dtype
     L, C, N = cfg.levels, cfg.capacity, p_w.shape[0]
     miss = L * C
 
@@ -791,7 +852,7 @@ def match_points(
 
     plane_at = vm.plane.reshape(miss, PLANE_DIM).at[slot].get(
         mode="fill", fill_value=0.0
-    )
+    ).astype(dtype)
 
     sizes = jnp.asarray(
         [level_size(cfg, l) for l in range(cfg.levels)], dtype=dtype
@@ -811,9 +872,14 @@ def match_points(
     range_dis2 = jnp.maximum(d2c - dist * dist, 0.0)
     gate_range = range_dis2 <= (cfg.radius_k * radius) ** 2
 
-    # sigma_l = J_nq plane_var J_nq^T + n^T var n  (voxel_map.cc:383-386)
+    # sigma_l = J_nq plane_var J_nq^T + n^T var n  (voxel_map.cc:383-386).
+    # The plane_var quadratic form is PSD in exact arithmetic; clamp at 0 so
+    # reduced-precision storage error cannot make sigma_l negative (a
+    # negative sigma_l gates the plane unmatchable forever).
     j_nq = jnp.concatenate([rel, -normal], axis=-1)
-    sigma_l = jnp.einsum("...i,...ij,...j->...", j_nq, plane_var, j_nq)
+    sigma_l = jnp.maximum(
+        jnp.einsum("...i,...ij,...j->...", j_nq, plane_var, j_nq), 0.0
+    )
     sigma_l = sigma_l + jnp.einsum("...i,...ij,...j->...", normal, var_rep, normal)
     sigma_l = jnp.maximum(sigma_l, 1e-12)
     gate_sigma = dist < cfg.sigma_num * jnp.sqrt(sigma_l)
@@ -876,10 +942,12 @@ def slide_map(vm: VoxelMap, cfg: MapConfig, position: jnp.ndarray, half_map_size
         delta = vm.key[lvl] - center_key[None, :]
         inside = jnp.all(jnp.abs(delta) <= half, axis=-1)
         keep = keep.at[lvl].set(vm.occ[lvl] & inside)
-    kf = keep.astype(vm.mom.dtype)[..., None]
+    kf = keep.astype(vm.meta.dtype)[..., None]
+    ks = keep.astype(vm.moms.dtype)[..., None]
     return vm._replace(
         ptab=vm.ptab * keep.astype(jnp.int32)[..., None],
         meta=vm.meta * kf,
         mom=vm.mom * kf,
-        plane=vm.plane * kf,
+        moms=vm.moms * ks,
+        plane=vm.plane * ks.astype(vm.plane.dtype),
     )

@@ -18,7 +18,9 @@ THRESHOLD = 0.01
 
 
 def _pack_rows(moment_list, meta_list, width=128):
-    rows = jnp.stack([_pack_moments(m) for m in moment_list])
+    rows = jnp.stack(
+        [jnp.concatenate(_pack_moments(m), axis=-1) for m in moment_list]
+    )
     meta = jnp.asarray(np.stack(meta_list), dtype=jnp.float32)
     pad = width - rows.shape[0]
     rows = jnp.pad(rows, ((0, pad), (0, 0)))
@@ -59,7 +61,9 @@ def test_fit_rows_matches_fit_planes(rng):
     from legkilo_tpu.core.voxel_map import _unpack_moments
 
     n_r = jnp.maximum(meta_rows[:, 0], 1.0)
-    fit = plane_fit.fit_planes(_unpack_moments(mom_rows, n_r), THRESHOLD)
+    fit = plane_fit.fit_planes(
+        _unpack_moments(mom_rows[:, :9], mom_rows[:, 9:], n_r), THRESHOLD
+    )
 
     n_wellcond = k - 2  # the last two rows are eigenvalue-degenerate
     for i in range(k):

@@ -162,7 +162,10 @@ def main() -> None:
         )[lvl_ids]
         vc = (keys.astype(dtype) + 0.5) * sizes[:, None]
         meta_flat = vm.meta.reshape(miss, vmx.META_DIM)
-        mom_flat = vm.mom.reshape(miss, vmx.MOM_DIM)
+        # split-precision layout: concat the geometry + uncertainty tables
+        mom_flat = jnp.concatenate(
+            [vm.mom, vm.moms.astype(vm.mom.dtype)], axis=-1
+        ).reshape(miss, vmx.MOM_DIM)
         plane_flat = vm.plane.reshape(miss, vmx.PLANE_DIM)
         meta_at = meta_flat.at[slot].get(mode="fill", fill_value=0.0)
         contrib = ok & (meta_at[:, vmx._M_N] < float(mcfg.max_points_num))
@@ -173,7 +176,10 @@ def main() -> None:
                 jnp.sum(meta_at) * 0.0 + jnp.sum(p_rel) * 0.0
             )
             return vm._replace(meta=m0.reshape(L, C, vmx.META_DIM))
-        mom_rows = vmx._pack_moments(point_moments(p_rel, jnp.tile(var, (L, 1, 1))))
+        mom_rows = jnp.concatenate(
+            vmx._pack_moments(point_moments(p_rel, jnp.tile(var, (L, 1, 1)))),
+            axis=-1,
+        )
         if stage == "moments":
             m0 = meta_flat.at[0, 0].add(jnp.sum(mom_rows) * 0.0)
             return vm._replace(meta=m0.reshape(L, C, vmx.META_DIM))

@@ -69,7 +69,9 @@ def main() -> None:
     mask_f = jnp.tile(mask, L)
     ptab_flat = vm.ptab.reshape(miss, vmx.PTAB_DIM)
     meta_flat = vm.meta.reshape(miss, vmx.META_DIM)
-    mom_flat = vm.mom.reshape(miss, vmx.MOM_DIM)
+    mom_flat = jnp.concatenate(
+        [vm.mom, vm.moms.astype(vm.mom.dtype)], axis=-1
+    ).reshape(miss, vmx.MOM_DIM)
 
     def probe_only(ptab_flat, keys, lvl_ids):
         return _probe_find_flat(ptab_flat, keys, lvl_ids, mc)
@@ -79,7 +81,10 @@ def main() -> None:
 
     def moments(p_w, vc, var):
         p_rel = jnp.tile(p_w, (L, 1)) - vc
-        return _pack_moments(point_moments(p_rel, jnp.tile(var, (L, 1, 1))))
+        return jnp.concatenate(
+            _pack_moments(point_moments(p_rel, jnp.tile(var, (L, 1, 1)))),
+            axis=-1,
+        )
 
     pt2, slot, ok = jax.jit(find_or_insert)(ptab_flat, keys, lvl_ids, mask_f)
     jax.block_until_ready(slot)
