@@ -518,18 +518,23 @@ def cmd_sweep(args: argparse.Namespace) -> int:
 def cmd_eval(args: argparse.Namespace) -> int:
     """Offline trajectory evaluation (the evo/ATE workflow the reference
     delegates to external tools; SURVEY.md §4.2)."""
-    from .io.tum import associate, ate_rmse, read_tum
+    from .io.tum import associate, ate_rmse, read_tum, rpe
 
-    t_est, p_est, _ = read_tum(args.est)
-    t_gt, p_gt, _ = read_tum(args.gt)
+    t_est, p_est, q_est = read_tum(args.est)
+    t_gt, p_gt, q_gt = read_tum(args.gt)
     ia, ib = associate(t_est, t_gt, max_dt=args.max_dt)
     if len(ia) < 2:
         print(json.dumps({"error": "fewer than 2 associated poses"}))
         return 1
+    rpe_t, rpe_r = rpe(
+        p_est[ia], p_gt[ib], q_est[ia], q_gt[ib], delta=args.rpe_delta
+    )
     out = {
         "pairs": int(len(ia)),
         "ate_rmse_m": round(ate_rmse(p_est[ia], p_gt[ib], align=not args.no_align), 4),
         "ate_rmse_unaligned_m": round(ate_rmse(p_est[ia], p_gt[ib], align=False), 4),
+        "rpe_trans_rmse_m": round(rpe_t, 4),
+        "rpe_rot_rmse_deg": round(float(np.degrees(rpe_r)), 4),
     }
     print(json.dumps(out))
     return 0
@@ -659,6 +664,8 @@ def main(argv=None) -> int:
     p_ev.add_argument("--gt", required=True)
     p_ev.add_argument("--max_dt", type=float, default=0.02)
     p_ev.add_argument("--no_align", action="store_true")
+    p_ev.add_argument("--rpe_delta", type=int, default=1,
+                      help="frame delta for the relative pose error")
     p_ev.set_defaults(fn=cmd_eval)
 
     p_sc = sub.add_parser("scale", help="weak-scaling efficiency sweep")

@@ -175,3 +175,34 @@ def test_pcd_intensity_roundtrip(tmp_path, rng):
     assert files
     out = read_pcd(files[0])
     assert out.shape[1] == 4 and len(out) > 0
+
+
+def test_rpe_alignment_free_and_scaled(rng):
+    """RPE (the evo metric the reference's workflow reports alongside ATE)
+    must be invariant to a global SE(3) offset and scale with local error."""
+    from legkilo_tpu.io.tum import quat_xyzw_from_rot, rot_from_quat_xyzw, rpe
+
+    n = 50
+    pos = np.cumsum(rng.normal(size=(n, 3)) * 0.1, axis=0)
+    axes = rng.normal(size=(n, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    ang = rng.uniform(0, 0.5, size=n)
+    q = np.concatenate(
+        [axes * np.sin(ang / 2)[:, None], np.cos(ang / 2)[:, None]], axis=1
+    )
+    t, r = rpe(pos, pos, q, q)
+    assert t < 1e-12 and r < 1e-6
+
+    # Global SE(3) offset cancels in relative motions.
+    R_off = rot_from_quat_xyzw(np.array([0.3, -0.1, 0.2, 0.95]))
+    R_off /= 1.0  # (normalized inside)
+    R_all = rot_from_quat_xyzw(q)
+    pos2 = pos @ R_off.T + np.array([5.0, -3.0, 1.0])
+    q2 = np.stack([quat_xyzw_from_rot(R_off @ R_all[i]) for i in range(n)])
+    t, r = rpe(pos2, pos, q2, q)
+    assert t < 1e-9 and r < 1e-6
+
+    # Local noise produces error of the right order.
+    pos3 = pos + rng.normal(scale=0.01, size=pos.shape)
+    t, r = rpe(pos3, pos, q, q)
+    assert 0.005 < t < 0.05
