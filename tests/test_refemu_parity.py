@@ -68,6 +68,24 @@ def test_emulator_reference_semantics_tracks_gt(short_sim):
     assert ate < 0.05, f"emulator ATE {ate:.4f} m"
 
 
+def test_kin_mode_reference_semantics_parity(short_sim):
+    """Kin+IMU (leg-fusion) mode: the reference-semantics emulator and the
+    framework must both track GT and agree at the cm level (measured
+    0.0048 RMSE on 60 s; docs/PARITY_EMULATOR.md)."""
+    cfg = _cfg(False)
+    results = run_offline(cfg, short_sim.scans, short_sim.kin)
+    rt = np.array([r.time for r in results])
+    rp = np.stack([r.pos for r in results])
+    p = EmuParams.from_config(cfg)
+    times, rots, poss, matched = run_emulator(short_sim.scans, short_sim.kin, p)
+    assert _gt_ate(short_sim, times, poss) < 0.05
+    rm = {round(t, 6): i for i, t in enumerate(rt)}
+    pairs = [(i, rm[round(t, 6)]) for i, t in enumerate(times)
+             if round(t, 6) in rm]
+    d = np.array([np.linalg.norm(poss[i] - rp[j]) for i, j in pairs])
+    assert np.sqrt((d ** 2).mean()) < 0.03
+
+
 def test_tpu_toggles_reproduce_repo_trajectory(short_sim):
     """Emulator with all deviation toggles at TPU-side semantics vs the
     actual legkilo_tpu pipeline: agreement within a few mm (measured
