@@ -93,6 +93,17 @@ def main() -> None:
         except Exception:
             return float("nan")
 
+    # The tunneled PJRT plugin does not expose memory_stats(); report the
+    # analytic carry footprint (exact buffer bytes of one replica's filter
+    # carry — map tables dominate) alongside whatever the device reports.
+    carry1 = batched_carry(scfg, 1)
+    analytic_mb = sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize
+        for l in jax.tree.leaves(carry1)
+    ) / 1e6
+    del carry1
+    print(f"analytic carry bytes/replica: {analytic_mb:.2f} MB", file=sys.stderr)
+
     results = []
     b = args.bstart
     best = None
@@ -116,6 +127,7 @@ def main() -> None:
             row = {
                 "B": b, "mem_mb": round(mem_mb(), 1),
                 "mem_per_replica_mb": round(mem_mb() / b, 2),
+                "carry_mb_per_replica": round(analytic_mb, 2),
                 "step_ms": round(dt * 1e3, 2),
                 "replica_scans_per_s": round(b / dt, 0),
                 "compile_s": round(compile_s, 1),
@@ -126,13 +138,14 @@ def main() -> None:
             del carry, bparams, out, stats
             b *= 2
         except Exception as exc:
-            print(f"B={b} failed: {type(exc).__name__}: {str(exc)[:300]}",
+            print(f"B={b} failed: {type(exc).__name__}: {str(exc)[:3000]}",
                   file=sys.stderr)
             break
 
     print(json.dumps({
         "storage": args.storage,
         "capacity_log2": args.capacity_log2,
+        "carry_mb_per_replica": round(analytic_mb, 2),
         "rows": results,
         "max_B": best["B"] if best else 0,
     }))
