@@ -282,18 +282,21 @@ def main() -> None:
 
 
 def orchestrate() -> int:
-    """Run the cache-stable unpinned attempt first, then opportunistically
-    try the (faster) pinned-layout attempt under a short timeout.
+    """Run the pinned-layout attempt first (fresh throwaway cache), then
+    fall back to the unpinned committed-cache configuration.
 
-    Rationale (docs/PERF_NOTES.md "Layout pinning"): the unpinned
-    configuration is stable on ANY compilation-cache state and its cache
-    (.jax_cache_nopin) is committed, so attempt 1 normally cache-hits and
-    emits a number in ~1-2 min.  The pinned configuration is ~0.7 ms/scan
-    faster but only works when its executable compiles fresh — from a stale
-    persistent cache the strict per-call layout check raises — so it runs
-    second, in its own subprocess (a failed pinned attempt poisons the TPU
-    client's in-flight buffers), against a throwaway cache dir, and only if
-    enough budget remains.  Exactly one JSON line is printed: the best
+    Rationale (docs/PERF_NOTES.md "Layout pinning" + "Round-3 rig"): the
+    pinned configuration always compiles fresh against a throwaway cache
+    dir (a stale persistent-cache hit would crash its strict per-call
+    layout check), which makes it rig-robust: on the round-3 rig compiles
+    are fast (~9 min for chunked+stream+kin, all three numbers) and the
+    unpinned layout-conversion path costs a catastrophic ~6 ms/call
+    (60x), so pinned-first is both the fast AND the accurate order.  On a
+    round-2-style rig (fresh chunked compile ~23 min) attempt 1 times out
+    at its cap and the unpinned committed-cache attempt — which measured
+    within ~1 ms/scan of pinned there — rescues the run.  Each attempt is
+    its OWN SUBPROCESS (a failed pinned attempt poisons the TPU client's
+    in-flight buffers).  Exactly one JSON line is printed: the best
     successful measurement.
     """
     import shutil
@@ -302,7 +305,10 @@ def orchestrate() -> int:
     import tempfile
 
     budget = float(os.environ.get("LEGKILO_BENCH_BUDGET_S", "1500"))
-    pinned_cap = float(os.environ.get("LEGKILO_BENCH_PINNED_TIMEOUT_S", "420"))
+    # The measured pinned chunked+stream+kin run takes ~9 min on the
+    # round-3 rig (fresh compiles included); 900 s covers it with slack
+    # while leaving the 1500 s default budget room for the fallbacks.
+    pinned_cap = float(os.environ.get("LEGKILO_BENCH_PINNED_TIMEOUT_S", "900"))
     t0 = time.monotonic()
 
     def attempt(mode: str, timeout_s: float, extra_env=None):
@@ -323,16 +329,35 @@ def orchestrate() -> int:
         return None, f"{mode}: rc={r.returncode} stderr={r.stderr[-1500:]}"
 
     errs = []
-    # Attempt 1: unpinned chunked replay (the headline configuration; its
-    # compile cache is committed, so this normally returns in ~1-2 min).
-    # Cap it at roughly half the budget: a FRESH chunked compile through
-    # this tunnel can run ~20+ min, and we must leave room for the
-    # per-scan fallback whose fresh compile is several times cheaper.
-    best, err = attempt("unpinned", max(120.0, budget * 0.5))
+    # Attempt 1: pinned chunked replay against a THROWAWAY cache dir (the
+    # pinned executable must compile fresh; a stale cache hit crashes the
+    # strict layout check).  On the round-3 rig this emits chunked +
+    # streaming + kin numbers in ~9 min; cap it to leave the unpinned
+    # fallback room on a slow-compile (round-2-style ~23 min) rig.
+    tmp = tempfile.mkdtemp(prefix="jax_cache_pin_")
+    try:
+        best, err = attempt(
+            "pinned", min(pinned_cap, max(120.0, budget - 300.0)),
+            extra_env={"LEGKILO_BENCH_CACHE_DIR": tmp},
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     if err:
         errs.append(err)
-    # Attempt 2 (only if attempt 1 produced nothing): per-scan stepping —
-    # smaller program, committed cache, known-fast fresh compile.
+
+    # Attempt 2 (only if attempt 1 produced nothing): unpinned chunked
+    # replay from the COMMITTED cache (.jax_cache_nopin) — normally a
+    # cache hit, ~1-2 min.  On a round-2-style rig this measures within
+    # ~1 ms/scan of pinned; on the round-3 rig the unpinned
+    # layout-conversion path costs ~6 ms/call, so it is strictly a
+    # fallback for when pinned cannot compile inside its cap.
+    if best is None:
+        remaining = budget - (time.monotonic() - t0)
+        best, err = attempt("unpinned", max(120.0, remaining * 0.6))
+        if err:
+            errs.append(err)
+    # Attempt 3 (last resort): unpinned per-scan stepping — the smallest
+    # program, committed cache, known-fast fresh compile.
     if best is None:
         remaining = budget - (time.monotonic() - t0)
         best, err = attempt(
@@ -341,32 +366,6 @@ def orchestrate() -> int:
         )
         if err:
             errs.append(err)
-
-    # Opportunistic pinned upgrade: fresh compile only (a matching stale
-    # cache entry would crash the call), so point it at a throwaway dir.
-    # Force per-scan stepping: the pinned layout's measured win is per-scan,
-    # and a fresh CHUNKED compile (~23 min, docs/PERF_NOTES.md) can never
-    # finish inside the pinned cap — inheriting chunk>1 would guarantee a
-    # timeout and waste the budget.
-    remaining = budget - (time.monotonic() - t0)
-    if remaining > pinned_cap + 30.0 or best is None:
-        tmp = tempfile.mkdtemp(prefix="jax_cache_pin_")
-        try:
-            pinned, err = attempt(
-                "pinned", min(pinned_cap, max(120.0, remaining - 30.0)),
-                extra_env={
-                    "LEGKILO_BENCH_CACHE_DIR": tmp,
-                    "LEGKILO_BENCH_CHUNK": "1",
-                },
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-        if err:
-            errs.append(err)
-        if pinned is not None and (
-            best is None or pinned["value"] < best["value"]
-        ):
-            best = pinned
 
     if best is not None:
         print(json.dumps(best))
