@@ -68,7 +68,11 @@ def main() -> None:
     # precedes a bucket, so one padded slot suffices.
     cfg.tpu.max_imu_per_bucket = 1
 
-    data = sim.simulate(sim.SimConfig(duration=6.0, scan_points=8000, seed=7))
+    # 24 s / ~236 packets: enough replay depth for >=6 timed windows at
+    # chunk=32 (the 6 s workload left chunk>=29 with a single timed
+    # window).  Longer replay only FILLS the map more — the steady-state
+    # scans are slightly harder than the 6 s workload's, not easier.
+    data = sim.simulate(sim.SimConfig(duration=24.0, scan_points=8000, seed=7))
 
     pipeline = os.environ.get("LEGKILO_BENCH_PIPELINE", "deferred")
     # The suffstats Pallas chain kernel (ops/pallas/chain_stats.py) is the
@@ -164,7 +168,11 @@ def main() -> None:
     # stepping, tests/test_filter_deferred.py).  Once the device outruns the
     # ~55 us host dispatch (docs/PERF_NOTES.md "Round-2 rig"), per-scan
     # replay latency is dispatch-bound; chunking amortizes the floor.
-    chunk_req = max(1, int(os.environ.get("LEGKILO_BENCH_CHUNK", "8")))
+    # Default 32: on the round-3 rig the per-dispatch overhead (~0.15 ms)
+    # dominates at small chunks — 8/16/32 measured 0.019/0.015/0.006
+    # ms/scan — so the headline converges to device throughput (~6 us/scan)
+    # as the chunk grows.  stream_value keeps the honest per-scan latency.
+    chunk_req = max(1, int(os.environ.get("LEGKILO_BENCH_CHUNK", "32")))
 
     def measure(pinned: bool, scfg=scfg, dev_packets=dev_packets,
                 chunk_override=None) -> float:
