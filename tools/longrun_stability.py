@@ -38,12 +38,22 @@ def main() -> None:
     ap.add_argument("--every", type=int, default=10)
     ap.add_argument("--symmetrize", action="store_true",
                     help="enable the per-scan covariance symmetrization")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="tpu = run on the real chip (f32 only; the "
+                         "asymmetry probe reads P back every --every scans)")
     ap.add_argument("--json_out", default="")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        assert args.dtype == "f32", "TPU arm is f32-only"
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
