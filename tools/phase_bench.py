@@ -112,7 +112,7 @@ def main() -> None:
         s40, nmatch_b, aux = jmc(carry, pkt)
         jax.block_until_ready(s40)
         (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-         own_keys, own_slot, own_found) = aux
+         own_keys, own_slot, own_found, own_plane) = aux
 
         def phase_chain_c(carry, packet, s40, nmatch_b):
             if args.pallas:
@@ -128,7 +128,7 @@ def main() -> None:
 
         def phase_insert_c(carry, bidx, p_i_c, cross_c, body_cov_c, mask_c,
                            rots, poss, rot_covs, pos_covs,
-                           own_keys, own_slot, own_found):
+                           own_keys, own_slot, own_found, own_plane):
             bidx_c = jnp.minimum(bidx, nb_ - 1)
             rb2 = rots[bidx_c]
             pb2 = poss[bidx_c]
@@ -144,11 +144,12 @@ def main() -> None:
             )
             from legkilo_tpu.core.voxel_map import insert_points_hinted as iph
             return iph(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c,
-                       own_keys, own_slot, own_found)
+                       own_keys, own_slot, own_found, own_plane)
 
         jic = jax.jit(phase_insert_c)
         iout = jic(carry, bidx, p_i_c, cross_c, body_cov_c, mask_c,
-                   rots_c, poss_c, rcov_c, pcov_c, own_keys, own_slot, own_found)
+                   rots_c, poss_c, rcov_c, pcov_c, own_keys, own_slot,
+                   own_found, own_plane)
         jax.block_until_ready(iout.occ)
 
         def timeit2(label, fn, *a):
@@ -165,7 +166,7 @@ def main() -> None:
         timeit2("chain (core)", jcc, carry, pkt, s40, nmatch_b)
         timeit2("insert (compact)", jic, carry, bidx, p_i_c, cross_c,
                 body_cov_c, mask_c, rots_c, poss_c, rcov_c, pcov_c,
-                own_keys, own_slot, own_found)
+                own_keys, own_slot, own_found, own_plane)
 
         t0 = time.perf_counter()
         c = carry
