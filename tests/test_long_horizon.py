@@ -19,7 +19,7 @@ from legkilo_tpu.models import sim
 from legkilo_tpu.runner import OdometryRunner
 
 
-def _run(symmetrize: bool, duration: float = 30.0):
+def _run(symmetrize: bool, duration: float = 30.0, mode: str = "imu"):
     traj = sim.Trajectory(
         speed=0.8, roll_amp=0.05, pitch_amp=0.03, bob=0.03,
         speed_segments=[(10.0, 1.3), (18.0, 0.0), (23.0, 0.9)],
@@ -28,7 +28,7 @@ def _run(symmetrize: bool, duration: float = 30.0):
         sim.SimConfig(duration=duration, scan_points=1500, seed=5), traj=traj
     )
     cfg = Config()
-    cfg.only_imu_use = True
+    cfg.only_imu_use = mode == "imu"
     cfg.lidar.filter_num = 1
     cfg.lidar.blind = 0.3
     cfg.lidar.voxel_grid_resolution = 0.4
@@ -39,7 +39,9 @@ def _run(symmetrize: bool, duration: float = 30.0):
     cfg.tpu.pipeline_depth = 0
     cfg.tpu.symmetrize_cov = symmetrize
     runner = OdometryRunner(cfg)
-    ev = iter(sorted(data.imu, key=lambda e: e.time))
+    events = data.imu if mode == "imu" else data.kin
+    add = runner.add_imu if mode == "imu" else runner.add_kin_imu
+    ev = iter(sorted(events, key=lambda e: e.time))
     pending = next(ev, None)
     asyms, errs = [], []
     _, gt_pos = data.gt_in_filter_frame()
@@ -47,7 +49,7 @@ def _run(symmetrize: bool, duration: float = 30.0):
     n = 0
     for scan in data.scans:
         while pending is not None and pending.time <= scan.end_time + 0.5:
-            runner.add_imu(pending)
+            add(pending)
             pending = next(ev, None)
         runner.add_scan(scan)
         runner.flush()
@@ -79,4 +81,15 @@ def test_f32_symmetrized_is_exact_and_equal_ate():
     asyms, errs, n = _run(symmetrize=True)
     assert n >= 290
     assert asyms.max() == 0.0
+    assert np.sqrt((errs**2).mean()) < 0.05
+
+
+def test_f32_kin_mode_long_horizon_stable():
+    """The namesake leg-fusion mode (KILO.cc:260-314): the 18-row
+    contact-velocity update adds its own downdates — guard its long-run
+    f32 stability alongside the IMU-only arms (shorter horizon to bound
+    CI time; asymmetry bounds scale-free)."""
+    asyms, errs, n = _run(symmetrize=False, duration=20.0, mode="kin")
+    assert n >= 190
+    assert asyms.max() < 1e-6, f"asymmetry drifted to {asyms.max():.2e}"
     assert np.sqrt((errs**2).mean()) < 0.05
