@@ -28,3 +28,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles hundreds of CPU programs in one process;
+    past ~130 tests jaxlib's CPU JIT segfaulted *inside a later
+    compile* (observed at test_voxel_map::test_match_respects_mask,
+    crash in backend_compile_and_load — an accumulation bug, not a test
+    bug: the same module passes in isolation).  Dropping executable
+    references between modules caps the number of live loaded programs.
+    Cross-module compile reuse is minimal, so this costs little time."""
+    yield
+    jax.clear_caches()
