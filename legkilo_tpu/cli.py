@@ -595,10 +595,39 @@ def cmd_scale(args: argparse.Namespace) -> int:
     return 0
 
 
+def _setup_compile_cache() -> None:
+    """Persist TPU compiles across CLI invocations.
+
+    Full scan-program compiles take minutes through the tunneled rig
+    (docs/PERF_NOTES.md); without a persistent cache every `legkilo_tpu
+    sim|run` pays that cost again.  Gated off on CPU (tests and local
+    runs compile in seconds and would only bloat the cache dir).
+    Override the location with LEGKILO_CACHE_DIR; disable with
+    LEGKILO_CACHE_DIR=''."""
+    cache = os.environ.get(
+        "LEGKILO_CACHE_DIR",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "legkilo_tpu", "jax"
+        ),
+    )
+    if not cache:
+        return
+    import jax
+
+    try:
+        if jax.default_backend() == "cpu":
+            return
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def main(argv=None) -> int:
     from .utils.logging import setup as setup_logging
 
     setup_logging(log_dir="logs")
+    _setup_compile_cache()
     ap = argparse.ArgumentParser(prog="legkilo_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
