@@ -297,7 +297,7 @@ def orchestrate() -> int:
     pinned configuration always compiles fresh against a throwaway cache
     dir (a stale persistent-cache hit would crash its strict per-call
     layout check), which makes it rig-robust: on the round-3 rig compiles
-    are fast (~9 min for chunked+stream+kin, all three numbers) and the
+    are fast (~14 min for chunked+stream+kin, all three numbers) and the
     unpinned layout-conversion path costs a catastrophic ~6 ms/call
     (60x), so pinned-first is both the fast AND the accurate order.  On a
     round-2-style rig (fresh chunked compile ~23 min) attempt 1 times out
@@ -341,7 +341,7 @@ def orchestrate() -> int:
     # Attempt 1: pinned chunked replay against a THROWAWAY cache dir (the
     # pinned executable must compile fresh; a stale cache hit crashes the
     # strict layout check).  On the round-3 rig this emits chunked +
-    # streaming + kin numbers in ~9 min; cap it to leave the unpinned
+    # streaming + kin numbers in ~14 min; cap it to leave the unpinned
     # fallback room on a slow-compile (round-2-style ~23 min) rig.
     tmp = tempfile.mkdtemp(prefix="jax_cache_pin_")
     try:

@@ -600,10 +600,14 @@ def _setup_compile_cache() -> None:
 
     Full scan-program compiles take minutes through the tunneled rig
     (docs/PERF_NOTES.md); without a persistent cache every `legkilo_tpu
-    sim|run` pays that cost again.  Gated off on CPU (tests and local
-    runs compile in seconds and would only bloat the cache dir).
-    Override the location with LEGKILO_CACHE_DIR; disable with
-    LEGKILO_CACHE_DIR=''."""
+    sim|run` pays that cost again.  Set unconditionally and WITHOUT
+    touching a backend: probing jax.default_backend() here would
+    initialize all backends before the multihost path runs
+    (jax.distributed.initialize raises after backends exist) and force a
+    connection to the serialized tunneled TPU on every invocation,
+    including --help.  The 1 s min-compile-time gate keeps CPU cache
+    bloat negligible.  Override the location with LEGKILO_CACHE_DIR;
+    disable with LEGKILO_CACHE_DIR=''."""
     cache = os.environ.get(
         "LEGKILO_CACHE_DIR",
         os.path.join(
@@ -615,8 +619,6 @@ def _setup_compile_cache() -> None:
     import jax
 
     try:
-        if jax.default_backend() == "cpu":
-            return
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

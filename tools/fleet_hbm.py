@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 import time
 
@@ -124,9 +125,15 @@ def main() -> None:
                 carry, out, stats = step(carry, broadcast_packets(pk, b), bparams)
             jax.block_until_ready(stats)
             dt = (time.perf_counter() - t0) / args.steps
+            # memory_stats() is unimplemented on this PJRT plugin -> NaN;
+            # json.dumps would emit a literal NaN (invalid JSON), so map
+            # unavailable readings to None (docs/PERF_NOTES.md).
+            m = mem_mb()
+            m = m if math.isfinite(m) else None
             row = {
-                "B": b, "mem_mb": round(mem_mb(), 1),
-                "mem_per_replica_mb": round(mem_mb() / b, 2),
+                "B": b,
+                "mem_mb": round(m, 1) if m is not None else None,
+                "mem_per_replica_mb": round(m / b, 2) if m is not None else None,
                 "carry_mb_per_replica": round(analytic_mb, 2),
                 "step_ms": round(dt * 1e3, 2),
                 "replica_scans_per_s": round(b / dt, 0),
