@@ -138,6 +138,14 @@ class TpuConfig:
     chain_unroll: int = 1
     # Fused pipeline: reuse the match-phase table probe for insertion.
     insert_reuse_probe: bool = True
+    # Deferred-mode per-bucket match-pose prediction: "imu" (IMU-event-
+    # propagated, robust to aggressive gait) | "const_vel" (constant-
+    # velocity extrapolation); see core/filter.py StaticConfig.
+    match_pose: str = "imu"
+    # Deferred-mode matching passes per scan (iterated-EKF outer loop);
+    # 2 recovers sequential-quality association at the dynamics-envelope
+    # edge for ~2x the match/chain cost.  See core/filter.py.
+    match_iters: int = 1
     # Host-feed pipelining (the PP analog of the reference's producer/
     # consumer threads, ros_interface.cc:125-172): keep up to this many
     # dispatched-but-unmaterialized scans in flight so host packet build /
@@ -234,6 +242,8 @@ _TPU_KEY_MAP = {
     "tpu_chain_impl": "chain_impl",
     "tpu_chain_unroll": "chain_unroll",
     "tpu_insert_reuse_probe": "insert_reuse_probe",
+    "tpu_match_pose": "match_pose",
+    "tpu_match_iters": "match_iters",
     "tpu_symmetrize_cov": "symmetrize_cov",
     "tpu_pipeline_depth": "pipeline_depth",
     "tpu_dtype": "dtype",

@@ -117,6 +117,22 @@ class StaticConfig(NamedTuple):
     # downdates per scan (eskf.cc:91-145) accumulate f32 asymmetry over
     # long runs (tools/longrun_stability.py measurements in PERF_NOTES).
     symmetrize_cov: bool = True
+    # Deferred mode: per-bucket match-pose prediction.
+    #   "imu":       propagate the scan's own IMU events from the
+    #                scan-start state (batched associative_scan — tracks
+    #                aggressive gait attitude; the default).
+    #   "const_vel": constant-velocity/constant-rate extrapolation (the
+    #                round-1..3 behavior; degrades under >0.1 rad gait
+    #                oscillation, tests/test_dynamics_envelope.py).
+    match_pose: str = "imu"
+    # Deferred mode: matching passes per scan.  1 = match once at the
+    # predicted poses (fastest).  2 = re-match at the first chain pass's
+    # post-update per-bucket poses and re-run the chain from the scan-
+    # start state (an iterated-EKF outer loop, still fully batched) —
+    # recovers the sequential pipeline's within-scan feedback quality at
+    # the dynamics-envelope edge (>=0.3 rad gait at 4 Hz), where one-pass
+    # association degrades; see tests/test_dynamics_envelope.py.
+    match_iters: int = 1
 
 
 class FilterCarry(NamedTuple):

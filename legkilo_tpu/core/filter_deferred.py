@@ -61,7 +61,7 @@ def _gather(x, order, fill=0.0):
     return x.at[order].get(mode="fill", fill_value=fill)
 
 
-def _predicted_bucket_poses(carry, packet):
+def _predicted_bucket_poses_const_vel(carry, packet):
     """Constant-velocity/rate per-bucket pose prediction (matching only)."""
     st0 = carry.state
     dtb = packet.bucket_time                               # [NB]
@@ -70,16 +70,111 @@ def _predicted_bucket_poses(carry, packet):
     return rb, pb
 
 
-def _match_compact_stats(carry, packet, params, scfg, cap):
+def _predicted_bucket_poses_imu(carry, packet, params):
+    """IMU-event-propagated per-bucket match poses (matching only).
+
+    Integrates the packet's own IMU stream from the scan-start state
+    through the interleaved event/bucket timeline — the same
+    zero-order-hold mean propagation the sequential chain performs
+    (KILO.cc:373-395, eskf.cc:64-70) with the latched body rates
+    replaced by their innovation-free post-update values
+    (imu_w -> gyr - bw, imu_a -> (g/|a|) acc - ba) after each event, so
+    the poses need no sequential filter feedback.  Every cumulative
+    structure is parallel: one associative_scan of 3x3 delta rotations
+    plus two cumsums over the ~NBx(K+1) flat timeline.
+
+    Under aggressive gait (attitude oscillation at 2.5-4 Hz, sharp yaw)
+    the constant-rate extrapolation above mispredicts late-scan bucket
+    attitudes by several degrees, which degrades plane selection; this
+    variant tracks the measured rates instead (see
+    tests/test_dynamics_envelope.py and docs/PARITY.md).
+    """
+    st0 = carry.state
+    dtype = carry.cov.dtype
+    nb, kmax = packet.imu_time.shape
+
+    # Flat timeline per bucket: K event slots then the bucket time — the
+    # exact order the sequential chain consumes them.
+    t_all = jnp.concatenate(
+        [packet.imu_time, packet.bucket_time[:, None]], axis=1
+    ).reshape(-1)                                          # [M]
+    gate = jnp.concatenate(
+        [packet.imu_mask, packet.bucket_mask[:, None]], axis=1
+    ).reshape(-1)
+    is_ev = jnp.concatenate(
+        [packet.imu_mask, jnp.zeros((nb, 1), bool)], axis=1
+    ).reshape(-1)
+    m = t_all.shape[0]
+
+    zpad = jnp.zeros((nb, 1, 3), dtype)
+    w_meas = (
+        jnp.concatenate([packet.imu_gyr, zpad], axis=1).reshape(m, 3) - st0.bw
+    )
+    a_meas = (
+        params.g_over_acc_norm
+        * jnp.concatenate([packet.imu_acc, zpad], axis=1).reshape(m, 3)
+        - st0.ba
+    )
+
+    # Segment j (ending at timeline slot j) propagates with the rates held
+    # from the last valid EVENT strictly before j; before any event, with
+    # the carried latched values (the chain's imu_w/imu_a at scan start).
+    idx = jnp.where(is_ev, jnp.arange(m, dtype=jnp.int32), -1)
+    last_ev = jax.lax.cummax(idx)
+    prev_ev = jnp.concatenate([jnp.full((1,), -1, last_ev.dtype), last_ev[:-1]])
+    has = (prev_ev >= 0)[:, None]
+    w_seg = jnp.where(has, w_meas.at[prev_ev].get(mode="clip"), st0.imu_w)
+    a_seg = jnp.where(has, a_meas.at[prev_ev].get(mode="clip"), st0.imu_a)
+
+    # Per-segment dt replicating the chain's last-predict clock: masked
+    # slots contribute dt = 0 (exact no-ops), valid slots measure from the
+    # previous valid time (or the carried last_predict_t).
+    lp = carry.last_predict_t.astype(dtype)
+    tv = jnp.where(gate, t_all, -jnp.inf)
+    t_end = jnp.maximum(jax.lax.cummax(tv), lp)
+    t_start = jnp.concatenate([lp[None], t_end[:-1]])
+    dt = jnp.where(gate, t_all - t_start, 0.0)
+
+    # rot: cumulative product of per-segment delta rotations (masked ->
+    # identity); vel/pos: the same first-order recursion as predict_mean
+    # (transition_f evaluates at the segment-start state).
+    d_r = exp_so3(w_seg * dt[:, None])                     # [M,3,3]
+    prefix = jax.lax.associative_scan(jnp.matmul, d_r)
+    r_end = jnp.einsum("ij,mjk->mik", st0.rot, prefix)
+    r_start = jnp.concatenate([st0.rot[None], r_end[:-1]], axis=0)
+    dv = dt[:, None] * (
+        jnp.einsum("mij,mj->mi", r_start, a_seg) + st0.grav
+    )
+    v_end = st0.vel + jnp.cumsum(dv, axis=0)
+    v_start = jnp.concatenate([st0.vel[None], v_end[:-1]], axis=0)
+    p_end = st0.pos + jnp.cumsum(dt[:, None] * v_start, axis=0)
+
+    sel = (jnp.arange(nb) + 1) * (kmax + 1) - 1            # bucket slots
+    return r_end[sel], p_end[sel]
+
+
+def _predicted_bucket_poses(carry, packet, params=None, scfg=None):
+    """Per-bucket match-pose prediction, dispatched on scfg.match_pose."""
+    if scfg is not None and scfg.match_pose == "imu":
+        return _predicted_bucket_poses_imu(carry, packet, params)
+    return _predicted_bucket_poses_const_vel(carry, packet)
+
+
+def _match_compact_stats(carry, packet, params, scfg, cap, poses=None):
     """Phase 1 for the fused chain: compacted match + per-bucket sufficient
     statistics.  Never materializes [NB, P] match outputs — the fused chain
     consumes only s40/nmatch per bucket, and the insert phase reuses the
-    compacted rows (same mask)."""
+    compacted rows (same mask).  ``poses`` (rb [NB,3,3], pb [NB,3])
+    overrides the predicted match poses — the iterated-matching second
+    pass feeds the first chain pass's post-update bucket poses here."""
     from . import eskf_fused as ef
 
     st0, cov0 = carry.state, carry.cov
     nb, p, _ = packet.points.shape
-    rb, pb = _predicted_bucket_poses(carry, packet)
+    if poses is None:
+        rb, pb = _predicted_bucket_poses(carry, packet, params, scfg)
+    else:
+        rb, pb = poses
 
     mask_f = (packet.point_mask & packet.bucket_mask[:, None]).reshape(-1)
     order = _compact_order(mask_f, cap)
@@ -134,7 +229,7 @@ def _pick_block(c: int) -> int:
     return 0
 
 
-def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
+def _match_compact_stats_pallas(carry, packet, params, scfg, cap, poses=None):
     """_match_compact_stats with the per-point math in two Pallas kernels.
 
     Identical contract and semantics (equivalence: tests/test_match_geom.py);
@@ -153,7 +248,10 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
     miss = L * C
     block = _pick_block(cap)
     interpret = jax.default_backend() == "cpu"
-    rb, pb = _predicted_bucket_poses(carry, packet)
+    if poses is None:
+        rb, pb = _predicted_bucket_poses(carry, packet, params, scfg)
+    else:
+        rb, pb = poses
 
     mask_f = (packet.point_mask & packet.bucket_mask[:, None]).reshape(-1)
     order = _compact_order(mask_f, cap)
@@ -253,16 +351,18 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap):
     return s40, nmatch_b, aux
 
 
-def _batched_match(carry, packet, params, scfg):
+def _batched_match(carry, packet, params, scfg, poses=None):
     """Phase 1: predicted poses, point transforms/vars, batched match."""
     st0, cov0 = carry.state, carry.cov
     nb, p, _ = packet.points.shape
     dtype = cov0.dtype
 
-    # Constant-velocity pose prediction per bucket (matching only).
-    dtb = packet.bucket_time                               # [NB]
-    rb = st0.rot @ exp_so3(dtb[:, None] * st0.imu_w[None, :])  # [NB,3,3]
-    pb = st0.pos[None, :] + dtb[:, None] * st0.vel[None, :]    # [NB,3]
+    # Match-pose prediction per bucket (const-vel or IMU-propagated), or
+    # the previous chain pass's post-update poses (iterated matching).
+    if poses is None:
+        rb, pb = _predicted_bucket_poses(carry, packet, params, scfg)
+    else:
+        rb, pb = poses
 
     pts = packet.points                                    # [NB,P,3] body
     p_i = pts @ params.ext_r.T + params.ext_t              # [NB,P,3]
@@ -558,25 +658,39 @@ def _process_scan_fused(
     )
     cap_dropped = jnp.maximum(0, n_valid - cap)
 
-    if scfg.use_pallas_match and _pick_block(cap):
-        s40, nmatch_b, aux = _match_compact_stats_pallas(
-            carry, packet, params, scfg, cap
-        )
-    else:
-        s40, nmatch_b, aux = _match_compact_stats(carry, packet, params, scfg, cap)
-    (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-     own_keys, own_slot, own_found, own_plane) = aux
-
+    match_fn = (
+        _match_compact_stats_pallas
+        if scfg.use_pallas_match and _pick_block(cap)
+        else _match_compact_stats
+    )
     if scfg.use_pallas:
         from ..ops.pallas.chain_stats import run_chain_stats
 
-        carry, rots, poss, rot_covs, pos_covs, nmatch = run_chain_stats(
-            carry, packet, params, s40, nmatch_b, use_kin=scfg.use_kin
-        )
+        def chain_fn(c, s40, nmatch_b):
+            return run_chain_stats(
+                c, packet, params, s40, nmatch_b, use_kin=scfg.use_kin
+            )
     else:
-        carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_fused_core(
-            carry, packet, params, scfg, s40, nmatch_b
+        def chain_fn(c, s40, nmatch_b):
+            return _chain_fused_core(c, packet, params, scfg, s40, nmatch_b)
+
+    # Iterated matching (scfg.match_iters): pass 1 matches at predicted
+    # poses; each further pass re-matches at the previous chain pass's
+    # post-update per-bucket poses and re-runs the chain from the SAME
+    # scan-start carry — a batched iterated-EKF outer loop that recovers
+    # the sequential pipeline's within-scan feedback quality under
+    # aggressive dynamics with zero sequential structure added.
+    carry0 = carry
+    poses = None
+    for _ in range(max(1, scfg.match_iters)):
+        s40, nmatch_b, aux = match_fn(carry0, packet, params, scfg, cap,
+                                      poses=poses)
+        carry, rots, poss, rot_covs, pos_covs, nmatch = chain_fn(
+            carry0, s40, nmatch_b
         )
+        poses = (rots, poss)
+    (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
+     own_keys, own_slot, own_found, own_plane) = aux
 
     # Phase 3 on the same compacted rows: recompute world points with
     # post-update per-bucket poses, then one batched insert
@@ -653,17 +767,23 @@ def process_scan_deferred(
         return maybe_symmetrize_cov(carry, scfg), out
 
     ocnt0 = carry.vm.ocnt
-    p_i, normal, center, r_meas, matched, crossmat = _batched_match(
-        carry, packet, params, scfg
-    )
 
     # chain_impl="jax" always runs the lax.scan chain; the Pallas fast path
     # lives on the fused pipeline only (chain_stats.py).  The superseded
     # per-point chain kernel is archived at tools/experiments/
     # eskf_chain_pallas.py (see docs/PERF_NOTES.md "Mosaic findings").
-    carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_jax(
-        carry, packet, params, scfg, p_i, normal, center, r_meas, matched
-    )
+    # Iterated matching mirrors _process_scan_fused: re-match at the
+    # previous pass's post-update bucket poses, re-run from carry0.
+    carry0 = carry
+    poses = None
+    for _ in range(max(1, scfg.match_iters)):
+        p_i, normal, center, r_meas, matched, crossmat = _batched_match(
+            carry0, packet, params, scfg, poses=poses
+        )
+        carry, rots, poss, rot_covs, pos_covs, nmatch = _chain_jax(
+            carry0, packet, params, scfg, p_i, normal, center, r_meas, matched
+        )
+        poses = (rots, poss)
 
     # Phase 3: recompute world points with post-update per-bucket poses and
     # insert everything at once (KILO.cc:216-231 recompute + UpdateVoxelMap).

@@ -81,6 +81,8 @@ def make_static_config(
         chain_impl=cfg.tpu.chain_impl,
         chain_unroll=max(1, int(cfg.tpu.chain_unroll)),
         insert_reuse_probe=bool(cfg.tpu.insert_reuse_probe),
+        match_pose=cfg.tpu.match_pose,
+        match_iters=max(1, int(cfg.tpu.match_iters)),
         symmetrize_cov=bool(cfg.tpu.symmetrize_cov),
     )
 
