@@ -332,6 +332,7 @@ def _point_bucket(carry: FilterCarry, params: FilterParams, scfg: StaticConfig,
     vm = insert_points(carry.vm, cfg, p_w_final, var_final, pmask)
 
     n_matched = jnp.sum(m.matched.astype(jnp.int32))
+    n_processed = jnp.sum(pmask.astype(jnp.int32))
     return (
         carry._replace(
             state=st, cov=cov,
@@ -339,6 +340,7 @@ def _point_bucket(carry: FilterCarry, params: FilterParams, scfg: StaticConfig,
             vm=vm,
         ),
         n_matched,
+        n_processed,
         p_w_final,
     )
 
@@ -371,8 +373,10 @@ def process_scan(
                 c, params, scfg, it[k], imask[k], acc[k], gyr[k],
                 fp[k], fv[k], ct[k],
             )
-        c, n_matched, p_w = _point_bucket(c, params, scfg, bt, bmask, pts, pmask)
-        out = (n_matched, p_w) if scfg.return_cloud else (n_matched,)
+        c, n_matched, n_proc, p_w = _point_bucket(
+            c, params, scfg, bt, bmask, pts, pmask
+        )
+        out = (n_matched, n_proc, p_w) if scfg.return_cloud else (n_matched, n_proc)
         return c, out
 
     xs = (
@@ -382,7 +386,8 @@ def process_scan(
     )
     carry, outs = jax.lax.scan(bucket_step, carry, xs)
     n_matched = jnp.sum(outs[0])
-    cloud = outs[1] if scfg.return_cloud else None
+    n_processed = jnp.sum(outs[1])
+    cloud = outs[2] if scfg.return_cloud else None
 
     # Local-map sliding (mapSliding, voxel_map.cc:552-571).
     if scfg.map_sliding_en:
@@ -402,13 +407,20 @@ def process_scan(
         )
 
     carry = maybe_symmetrize_cov(carry, scfg)
+    # Measured, not constructed (round-3 review): valid points minus
+    # points the bucket loop actually consumed.  Zero today because the
+    # sequential path has no compaction caps; a future cap that trims
+    # pmask would surface here instead of hiding.
+    n_valid = jnp.sum(
+        (packet.point_mask & packet.bucket_mask[:, None]).astype(jnp.int32)
+    )
     out = ScanOutput(
         rot=carry.state.rot,
         pos=carry.state.pos,
         n_matched=n_matched,
         n_points=jnp.sum(packet.point_mask.astype(jnp.int32)),
         cloud_world=cloud,
-        n_cap_dropped=jnp.zeros((), jnp.int32),
+        n_cap_dropped=n_valid - n_processed,
         map_overflow=carry.vm.ocnt - ocnt0,
     )
     return carry, out
