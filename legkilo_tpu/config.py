@@ -146,6 +146,12 @@ class TpuConfig:
     # 2 recovers sequential-quality association at the dynamics-envelope
     # edge for ~2x the match/chain cost.  See core/filter.py.
     match_iters: int = 1
+    # Sensor-gap recovery: a packet whose clock rebase exceeds this many
+    # seconds triggers a soft reset (keep pose/biases, zero velocity,
+    # realign clocks, inflate covariance) instead of mean-propagating the
+    # whole gap with stale latched rates.  0 disables (reference-faithful
+    # behavior: no guard).  See core/filter.py soft_reset_carry.
+    gap_reset_s: float = 10.0
     # Host-feed pipelining (the PP analog of the reference's producer/
     # consumer threads, ros_interface.cc:125-172): keep up to this many
     # dispatched-but-unmaterialized scans in flight so host packet build /
@@ -245,6 +251,7 @@ _TPU_KEY_MAP = {
     "tpu_match_pose": "match_pose",
     "tpu_match_iters": "match_iters",
     "tpu_symmetrize_cov": "symmetrize_cov",
+    "tpu_gap_reset_s": "gap_reset_s",
     "tpu_pipeline_depth": "pipeline_depth",
     "tpu_dtype": "dtype",
 }

@@ -32,7 +32,7 @@ from . import eskf
 from .eskf import NoiseParams
 from .plane_fit import calc_body_cov
 from .so3 import skew
-from .state import State, make_state
+from .state import DIM_STATE, State, make_state
 from .voxel_map import MapConfig, VoxelMap, insert_points, make_map, match_points, slide_map
 
 
@@ -424,6 +424,38 @@ def process_scan(
         map_overflow=carry.vm.ocnt - ocnt0,
     )
     return carry, out
+
+
+def soft_reset_carry(
+    carry: FilterCarry, rebase: float, cov_diag: float = 1e-4
+) -> FilterCarry:
+    """Recover from a large sensor-time gap (elastic-recovery policy the
+    reference lacks — it would mean-propagate the whole gap with latched
+    imu_a/imu_w and diverge, KILO.cc:110-115 clocks + eskf.cc:64-70).
+
+    Keeps pose, gravity, and biases; zeroes velocity and the latched body
+    rates (imu_a to the rest-consistent -R^T grav), realigns the carried
+    clocks so the next packet's rebase lands them at its begin time, and
+    inflates the covariance so matching re-anchors.  If the gap was a
+    pure wall-clock splice (bag concatenation) the pose is still valid
+    and the filter recovers immediately; if the robot really moved,
+    odometry restarts from the last known pose — the best any system can
+    do without a relocalizer."""
+    from .state import BV, IMU_A, IMU_W, VEL
+
+    st = carry.state
+    dtype = carry.cov.dtype
+    lin = st.lin.at[VEL].set(0.0)
+    lin = lin.at[IMU_W].set(0.0)
+    lin = lin.at[BV].set(0.0)
+    rest_a = -jnp.swapaxes(st.rot, -1, -2) @ st.grav
+    lin = lin.at[IMU_A].set(rest_a)
+    return carry._replace(
+        state=State(rot=st.rot, lin=lin),
+        cov=jnp.eye(DIM_STATE, dtype=dtype) * cov_diag,
+        last_predict_t=jnp.asarray(rebase, dtype=dtype),
+        last_update_t=jnp.asarray(rebase, dtype=dtype),
+    )
 
 
 def maybe_symmetrize_cov(carry: FilterCarry, scfg: StaticConfig) -> FilterCarry:

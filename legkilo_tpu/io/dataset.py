@@ -14,11 +14,14 @@ fallback.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..config import Config
+
+log = logging.getLogger(__name__)
 
 TIME_QUANTUM = 1.0 / 500.0  # 2 ms buckets (lidar_processing.cc:48)
 
@@ -173,6 +176,17 @@ class PacketBuilder:
         self._last_scan_time = -np.inf
 
     def add_scan(self, scan: RawScan) -> None:
+        # A scan entirely in the already-emitted past is unusable (its
+        # events were consumed with earlier packets); the reference would
+        # clear-and-process it with negative dt (ros_interface.cc:175-182
+        # only clears the queue) — we reject it outright instead
+        # (tests/test_robustness.py backward-jump scenario).
+        if self._last_begin is not None and scan.end_time <= self._last_begin:
+            log.warning(
+                "stale scan rejected: end %.3f <= last emitted begin %.3f",
+                scan.end_time, self._last_begin,
+            )
+            return
         # Monotonicity check with cache clear (ros_interface.cc:175-182).
         if scan.begin_time < self._last_scan_time:
             self._scans.clear()
@@ -199,15 +213,84 @@ class PacketBuilder:
         return bool(self._scans) and self._last_event_time >= self._scans[0].end_time
 
     def pop(self) -> Optional[HostPacket]:
-        """Emit the next packet if the event stream has caught up."""
+        """Emit the next packet if the event stream has caught up.
+
+        A sensor gap (dropped scans, IMU dropout then resume, a bag
+        splice) can queue far more events before the next scan's first
+        bucket than the packet's ``kmax`` bucket-0 slots hold.  The
+        reference's MeasGroup carries an unbounded IMU deque and
+        KILO.cc:380-390 processes every queued event before the first
+        bucket; dropping them here instead latches stale imu_a/imu_w
+        across the gap and measurably diverges the filter
+        (tests/test_robustness.py).  So excess pre-scan events spill
+        into event-only packets (all point buckets masked) that run
+        through the same device program ahead of the scan packet.
+        """
         if not self.ready():
             return None
+        scan = self._scans[0]
+        if self._last_begin is not None:
+            # _events is time-sorted (regressions clear the cache), so the
+            # pre-scan events are a prefix.
+            n_pre = 0
+            for e in self._events:
+                if e.time > scan.begin_time:
+                    break
+                n_pre += 1
+            if n_pre > self.kmax:
+                batch = self._events[: min(n_pre, self.nb * self.kmax)]
+                self._events = self._events[len(batch):]
+                return self._build_event_packet(batch)
         scan = self._scans.pop(0)
         events = [e for e in self._events if e.time <= scan.end_time]
         self._events = [e for e in self._events if e.time > scan.end_time]
         pkt = self.build_packet(scan, events)
         self._last_begin = scan.begin_time
         return pkt
+
+    def _build_event_packet(self, events: Sequence) -> HostPacket:
+        """Event-only HostPacket: buckets all masked, events packed in time
+        order across the [nb, kmax] slots (the chain consumes bucket i's
+        slots before bucket i, so sequential fill preserves order)."""
+        t0 = float(events[0].time)
+        imu_time = np.zeros((self.nb, self.kmax), dtype=np.float32)
+        imu_mask = np.zeros((self.nb, self.kmax), dtype=bool)
+        imu_acc = np.zeros((self.nb, self.kmax, 3), dtype=np.float32)
+        imu_gyr = np.zeros((self.nb, self.kmax, 3), dtype=np.float32)
+        foot_pos = np.zeros((self.nb, self.kmax, 4, 3), dtype=np.float32)
+        foot_vel = np.zeros((self.nb, self.kmax, 4, 3), dtype=np.float32)
+        contact = np.zeros((self.nb, self.kmax, 4), dtype=bool)
+        for idx, ev in enumerate(events):
+            i, k = divmod(idx, self.kmax)
+            imu_time[i, k] = ev.time - t0
+            imu_mask[i, k] = True
+            imu_acc[i, k] = ev.acc
+            imu_gyr[i, k] = ev.gyr
+            if self.use_kin:
+                foot_pos[i, k] = ev.foot_pos
+                foot_vel[i, k] = ev.foot_vel
+                contact[i, k] = ev.contact
+        rebase = t0 - self._last_begin
+        self._last_begin = t0
+        end = float(events[-1].time)
+        return HostPacket(
+            begin_time=t0,
+            end_time=end,
+            rebase=float(rebase),
+            end_offset=end - t0,
+            bucket_time=np.zeros(self.nb, dtype=np.float32),
+            bucket_mask=np.zeros(self.nb, dtype=bool),
+            points=np.zeros((self.nb, self.pmax, 3), dtype=np.float32),
+            point_mask=np.zeros((self.nb, self.pmax), dtype=bool),
+            imu_time=imu_time,
+            imu_mask=imu_mask,
+            imu_acc=imu_acc,
+            imu_gyr=imu_gyr,
+            foot_pos=foot_pos,
+            foot_vel=foot_vel,
+            contact=contact,
+            n_raw=0,
+        )
 
     def build_packet(self, scan: RawScan, events: Sequence) -> HostPacket:
         cfg = self.cfg

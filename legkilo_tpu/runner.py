@@ -29,6 +29,7 @@ from .core.filter import (
     init_carry,
     init_state_from_imu,
     process_scan,
+    soft_reset_carry,
 )
 from .core.voxel_map import map_config_from
 from .io.dataset import (
@@ -307,6 +308,14 @@ class OdometryRunner:
         The Timer label matches the reference's (KILO.cc:367) but measures
         dispatch, not device time — with pipelining the device sync lands in
         the _materialize of a scan up to pipeline_depth steps later."""
+        gap = float(self.cfg.tpu.gap_reset_s)
+        if gap > 0.0 and pkt.rebase > gap:
+            log.warning(
+                "sensor-time gap %.1f s >= tpu_gap_reset_s=%.1f: soft reset "
+                "(pose kept, velocity zeroed, clocks realigned, covariance "
+                "inflated)", pkt.rebase, gap,
+            )
+            self.carry = soft_reset_carry(self.carry, pkt.rebase)
         dev = to_device_packet(pkt)
         with Timer.measure("State predict/update & Map update"):
             self.carry, out = self._step(self.carry, dev, self.params, self.scfg)
