@@ -288,7 +288,10 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
     from .io.tum import TrajectoryWriter, ate_rmse
     from .models import sim as sim_mod
     from .parallel.mesh import shard_batch
-    from .parallel.sweep import fleet_init, make_fleet_step, stack_packets
+    from .parallel.sweep import (
+        fleet_init, make_fleet_chunk_step, make_fleet_step,
+        stack_fleet_chunks, stack_packets,
+    )
     from .runner import make_static_config
 
     import jax.numpy as jnp
@@ -369,33 +372,55 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
     )
     carry = shard_batch(carry, mesh)
     bparams = shard_batch(bparams, mesh)
-    step = make_fleet_step(scfg, mesh=mesh)
 
     steps = stack_packets(
         [[to_device_packet(p) for p in seq[1:]] for seq in pkt_seqs]
     )
-    times = [
-        [p.end_time for p in seq[1 : 1 + len(steps)]] for seq in pkt_seqs
-    ]
+    chunk = max(1, int(getattr(args, "chunk", 0) or 1))
+    chunk = min(chunk, len(steps))
 
     est, est_rot = [], []   # per step [B, 3], [B, 3, 3]
-    t0 = time.perf_counter()
     stats = None
-    for dev in steps:
-        carry, out, stats = step(carry, shard_batch(dev, mesh), bparams)
-        est.append(np.asarray(out.pos))
-        est_rot.append(np.asarray(out.rot))
-    jax.block_until_ready(stats)
-    wall = time.perf_counter() - t0
+    if chunk > 1:
+        # Offline throughput mode: one dispatch advances the whole fleet
+        # by K scans (vmap(process_scan_chunk); bit-identical to per-scan
+        # fleet stepping, tests/test_fleet_chunk.py).
+        step = make_fleet_chunk_step(scfg, mesh=mesh)
+        chunks = stack_fleet_chunks(steps, chunk)
+        t0 = time.perf_counter()
+        for dev in chunks:
+            carry, outs, stats = step(carry, shard_batch(dev, mesh), bparams)
+            pos = np.asarray(outs.pos)          # [B, K, 3]
+            rot = np.asarray(outs.rot)
+            for k in range(pos.shape[1]):
+                est.append(pos[:, k])
+                est_rot.append(rot[:, k])
+        jax.block_until_ready(stats)
+        wall = time.perf_counter() - t0
+        n_steps = len(chunks) * chunk
+    else:
+        step = make_fleet_step(scfg, mesh=mesh)
+        t0 = time.perf_counter()
+        for dev in steps:
+            carry, out, stats = step(carry, shard_batch(dev, mesh), bparams)
+            est.append(np.asarray(out.pos))
+            est_rot.append(np.asarray(out.rot))
+        jax.block_until_ready(stats)
+        wall = time.perf_counter() - t0
+        n_steps = len(steps)
+    times = [
+        [p.end_time for p in seq[1 : 1 + n_steps]] for seq in pkt_seqs
+    ]
     est = np.stack(est)          # [T, B, 3]
     est_rot = np.stack(est_rot)  # [T, B, 3, 3]
     B = est.shape[1]
 
     report = {
-        "replicas": B, "devices": int(mesh.devices.size), "scans": len(steps),
+        "replicas": B, "devices": int(mesh.devices.size), "scans": n_steps,
         "wall_s": round(wall, 2),
-        "replica_scans_per_s": round(B * len(steps) / max(wall, 1e-9), 1),
+        "replica_scans_per_s": round(B * n_steps / max(wall, 1e-9), 1),
         "mean_matched": round(float(stats.mean_matched), 1),
+        "chunk": chunk,
     }
     if datas is not None:
         ates = []
@@ -412,7 +437,7 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
             with TrajectoryWriter(
                 os.path.join(args.traj_out, f"{name}.tum")
             ) as w:
-                for t in range(len(steps)):
+                for t in range(n_steps):
                     w.write(times[r][t], est_rot[t, r], est[t, r])
     if jax.process_index() == 0:
         print(json.dumps(report))
@@ -687,6 +712,10 @@ def main(argv=None) -> int:
     p_sw.add_argument("--traj_out", default=None,
                       help="with --distinct/--bags: directory for "
                            "per-replica TUM trajectories")
+    p_sw.add_argument("--chunk", type=int, default=0,
+                      help="with --distinct/--bags: advance the fleet N "
+                           "scans per dispatch (vmap(process_scan_chunk); "
+                           "offline throughput mode)")
     _add_multihost_args(p_sw)
     p_sw.set_defaults(fn=cmd_sweep)
 

@@ -25,6 +25,7 @@ from ..core.filter import (
     StaticConfig,
     init_carry,
     process_scan_any,
+    process_scan_chunk,
 )
 from .mesh import REPLICA_AXIS
 
@@ -86,6 +87,63 @@ def make_fleet_step(scfg: StaticConfig, mesh=None, with_stats: bool = True):
         in_shardings=(shard, shard, shard),
         out_shardings=(shard, shard, repl if with_stats else None),
     )
+
+
+def make_fleet_chunk_step(scfg: StaticConfig, mesh=None, with_stats: bool = True):
+    """Chunked fleet step: every replica advances K scans per dispatch.
+
+        (carry [B,...], packets [B,K,...], params [B,...]) -> (carry, outs, stats)
+
+    ``vmap(process_scan_chunk)``: the fleet step time is ~flat in B on the
+    measured rigs (host/dispatch-bound, docs/PERF_NOTES.md fleet table),
+    so per-scan fleet stepping leaves a K-fold amortization on the table
+    for offline sweeps — one dispatch advances B replicas by K scans,
+    bit-identical to K per-scan fleet steps (tests/test_fleet_chunk.py).
+    ``outs`` come back stacked [B, K, ...]; stats reduce over the
+    replicas' final scan of the chunk.
+    """
+
+    def step(carry, packets, params):
+        carry, outs = jax.vmap(process_scan_chunk, in_axes=(0, 0, 0, None))(
+            carry, packets, params, scfg
+        )
+        if with_stats:
+            pos_end = outs.pos[:, -1]                       # [B, 3]
+            nm_end = outs.n_matched[:, -1]
+            stats = FleetStats(
+                mean_pos=jnp.mean(pos_end, axis=0),
+                pos_spread=jnp.max(
+                    jnp.linalg.norm(pos_end - jnp.mean(pos_end, axis=0), axis=-1)
+                ),
+                mean_matched=jnp.mean(nm_end.astype(jnp.float32)),
+                min_matched=jnp.min(nm_end),
+            )
+        else:
+            stats = None
+        return carry, outs, stats
+
+    if mesh is None:
+        return jax.jit(step)
+    shard = NamedSharding(mesh, P(mesh.axis_names))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(shard, shard, shard),
+        out_shardings=(shard, shard, repl if with_stats else None),
+    )
+
+
+def stack_fleet_chunks(step_packets: list, chunk: int) -> list:
+    """Per-step [B, ...] packets (stack_packets output) -> per-chunk
+    [B, K, ...] pytrees for make_fleet_chunk_step.  Trailing steps that
+    do not fill a chunk are dropped (offline-sweep semantics: every
+    dispatch advances the whole fleet by exactly K scans)."""
+    return [
+        jax.tree.map(
+            lambda *xs: jnp.stack(xs, axis=1), *step_packets[i : i + chunk]
+        )
+        for i in range(0, len(step_packets) - chunk + 1, chunk)
+    ]
 
 
 def broadcast_packets(packet: ScanPacket, batch: int) -> ScanPacket:
