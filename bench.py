@@ -286,6 +286,63 @@ def main() -> None:
     if kin_ms is not None:
         out["kin_value"] = round(kin_ms, 3)
         out["kin_vs_baseline"] = round(baseline_ms / kin_ms, 3)
+    # Emit the headline immediately: the extras below each pay a fresh
+    # chunked compile, and a budget overrun must not cost the round's
+    # number (the orchestrator keeps the LAST parsable line, and salvages
+    # stdout on timeout).
+    print(json.dumps(out), flush=True)
+
+    # Round-3 review weak #6: two driver-captured extras.
+    #  - ref2ms: chunked replay at the reference's own 2 ms bucket quantum
+    #    (~50 sequential updates/scan vs the bench default's 28) — the
+    #    justification for benching 4 ms buckets was CPU-ATE-equal, but no
+    #    driver artifact carried the 2 ms number.
+    #  - kin_chunk: leg-fusion mode chunked THROUGHPUT (kin_value above is
+    #    per-scan latency).
+    t_extra = float(os.environ.get("LEGKILO_BENCH_EXTRA_BUDGET_S", "600"))
+    t_start_extra = time.monotonic()
+    if os.environ.get("LEGKILO_BENCH_EXTRAS", "1") == "1" and chunk_req > 1:
+        try:
+            import copy
+
+            cfg2 = copy.deepcopy(cfg)
+            cfg2.tpu.bucket_quantum_ms = 2.0
+            cfg2.tpu.max_buckets = 56
+            cfg2.tpu.max_points_per_bucket = 128
+            b2 = PacketBuilder(cfg2)
+            for ev in data.imu:
+                b2.add_imu(ev)
+            pk2 = []
+            for scan in data.scans:
+                b2.add_scan(scan)
+                while b2.ready():
+                    pk2.append(b2.pop())
+            dev2 = [to_device_packet(p) for p in pk2]
+            ms_2ms = measure(pinned=pinned, dev_packets=dev2)
+            out["ref2ms_value"] = round(ms_2ms, 3)
+            out["ref2ms_vs_baseline"] = round(baseline_ms / ms_2ms, 3)
+            print(json.dumps(out), flush=True)
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"ref2ms bench failed: {exc!r}", file=sys.stderr)
+        if (
+            os.environ.get("LEGKILO_BENCH_KIN", "1") == "1"
+            and time.monotonic() - t_start_extra < t_extra
+        ):
+            try:
+                kin_packets = kin_packets if kin_ms is not None else [
+                    to_device_packet(p) for p in build_packets(kin=True)
+                ]
+                kin_chunk_ms = measure(
+                    pinned=pinned,
+                    scfg=scfg._replace(use_kin=True),
+                    dev_packets=kin_packets,
+                )
+                out["kin_chunk_value"] = round(kin_chunk_ms, 3)
+                out["kin_chunk_vs_baseline"] = round(
+                    baseline_ms / kin_chunk_ms, 3
+                )
+            except Exception as exc:  # pragma: no cover - defensive
+                print(f"kin chunked bench failed: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
 
 
@@ -327,15 +384,25 @@ def orchestrate() -> int:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=timeout_s,
             )
-        except subprocess.TimeoutExpired:
-            return None, f"{mode}: timeout after {timeout_s:.0f}s"
-        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if r.returncode == 0 and lines:
+            stdout, stderr, rc = r.stdout, r.stderr, r.returncode
+        except subprocess.TimeoutExpired as exc:
+            # main() prints the headline JSON before the (compile-heavy)
+            # extras and re-prints after each — salvage the last line so
+            # a budget overrun in the extras never costs the round.
+            stdout = exc.stdout or b""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            stderr = f"timeout after {timeout_s:.0f}s"
+            rc = 0 if stdout.strip() else -1
+            if rc != 0:
+                return None, f"{mode}: timeout after {timeout_s:.0f}s"
+        lines = [l for l in stdout.splitlines() if l.startswith("{")]
+        if rc == 0 and lines:
             try:
                 return json.loads(lines[-1]), ""
             except json.JSONDecodeError:
                 return None, f"{mode}: unparsable output {lines[-1]!r}"
-        return None, f"{mode}: rc={r.returncode} stderr={r.stderr[-1500:]}"
+        return None, f"{mode}: rc={rc} stderr={stderr[-1500:]}"
 
     errs = []
     # Attempt 1: pinned chunked replay against a THROWAWAY cache dir (the

@@ -134,6 +134,12 @@ def main() -> None:
         ("repo[deferred/cv]", make_cfg("deferred", "const_vel")),
         ("repo[deferred/it2]", make_cfg("deferred", "imu", match_iters=2)),
     ]
+    if args.traj == "extreme":
+        # The envelope edge needs 3 matching passes (see
+        # tests/test_dynamics_envelope.py).
+        repo_arms.append(
+            ("repo[deferred/it3]", make_cfg("deferred", "imu", match_iters=3))
+        )
     for name, cfg in repo_arms:
         t0 = time.time()
         res = run_offline(cfg, data.scans, events)
