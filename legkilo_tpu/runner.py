@@ -126,6 +126,11 @@ class OdometryRunner:
         # strictly in scan order, just up to ``pipeline_depth`` scans late.
         self.pipeline_depth = max(0, int(cfg.tpu.pipeline_depth))
         self._inflight: collections.deque = collections.deque()
+        # Divergence observability: consecutive scans with a collapsed
+        # match rate (the failure signature of every diverged run —
+        # tests/test_robustness.py, dynamics-envelope study).
+        self._n_done = 0
+        self._low_match_streak = 0
 
     # -- streaming input ---------------------------------------------------
     def add_scan(self, scan: RawScan) -> List[ScanResult]:
@@ -341,6 +346,23 @@ class OdometryRunner:
                 "%d slot claims failed (raise tpu_map_insert_row_cap / "
                 "tpu_map_capacity_log2)", int(mo[0]), int(mo[2]),
             )
+        # Sustained match-rate collapse = the divergence signature (state
+        # too far from the map for the 3-sigma gate).  The reference logs
+        # its per-scan "useful pcl percent" (ros_interface.cc:391-394)
+        # but never alarms on it.
+        self._n_done += 1
+        if self._n_done > 10 and int(out.n_points) > 100:
+            if int(out.n_matched) < 0.2 * int(out.n_points):
+                self._low_match_streak += 1
+                if self._low_match_streak == 5:
+                    log.warning(
+                        "match rate below 20%% for 5 consecutive scans — "
+                        "the estimate may have diverged.  Check sensor "
+                        "timing; under aggressive dynamics consider "
+                        "tpu_pipeline: sequential or tpu_match_iters >= 2."
+                    )
+            else:
+                self._low_match_streak = 0
         cloud = intensity = None
         if out.cloud_world is not None:
             # Compact to valid rows; intensity rides along in the same order

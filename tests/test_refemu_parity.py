@@ -86,6 +86,48 @@ def test_kin_mode_reference_semantics_parity(short_sim):
     assert np.sqrt((d ** 2).mean()) < 0.03
 
 
+def test_corridor_degenerate_world_parity():
+    """Round-4 guard: the parity claim must hold where plane matching is
+    rank-deficient (corridor: forward translation LiDAR-unobservable —
+    the regime build_single_residual's probability weighting,
+    voxel_map.cc:363-427, exists for).  Kin mode, 10 s; the committed
+    60 s study measured repo-vs-tpu-all 2.6-2.9 cm over 72 m
+    (docs/PARITY_EMULATOR.md round-4 section)."""
+    traj = sim.Trajectory(speed=1.2, radius=5000.0, roll_amp=0.05,
+                          pitch_amp=0.03, bob=0.03)
+    data = sim.simulate(
+        sim.SimConfig(duration=10.0, scan_points=2000, seed=5),
+        world=sim.corridor_world(), traj=traj,
+    )
+    cfg = _cfg(False)
+    # The corridor's infinite strips mint far more voxels than the box
+    # worlds; 2^14 leaves ~650 claim failures at 10 s (map-capacity
+    # divergence would contaminate the parity signal).
+    cfg.voxel_map.capacity_log2 = 15
+    results = run_offline(cfg, data.scans, data.kin)
+    rt = np.array([r.time for r in results])
+    rp = np.stack([r.pos for r in results])
+    assert _gt_ate(data, rt, rp) < 0.15
+
+    p = EmuParams.from_config(cfg)
+    p.point_update = "information"
+    p.neighbor_retry = "fixed"
+    p.insert_timing = "scan_end"
+    p.requantize_after_downsample = True
+    p.init_imu_a_from_grav = True
+    times, rots, poss, _ = run_emulator(data.scans, data.kin, p)
+    rm = {round(t, 6): i for i, t in enumerate(rt)}
+    pairs = [(i, rm[round(t, 6)]) for i, t in enumerate(times)
+             if round(t, 6) in rm]
+    assert len(pairs) >= 80
+    d = np.array([np.linalg.norm(poss[i] - rp[j]) for i, j in pairs])
+    rmse = float(np.sqrt((d ** 2).mean()))
+    # Measured 0.033 m: the unobservable axis integrates f64-vs-f32 and
+    # residual-mechanics differences that box worlds suppress; the 60 s
+    # study reads 2.6-2.9 cm over 72 m.  Bound at 1.5x measured.
+    assert rmse < 0.05, f"corridor emulator(tpu-all) vs repo rmse {rmse:.4f} m"
+
+
 def test_tpu_toggles_reproduce_repo_trajectory(short_sim):
     """Emulator with all deviation toggles at TPU-side semantics vs the
     actual legkilo_tpu pipeline: agreement within a few mm (measured

@@ -158,6 +158,53 @@ def test_forward_time_jump_stays_finite(data):
     assert max(r.n_matched for r in res[-5:]) > 100
 
 
+def test_match_collapse_warns_operator(data):
+    """A genuinely diverged run must raise the sustained match-rate-
+    collapse warning.  Deterministic divergence: a +30 s wall-clock
+    splice with the soft-reset guard DISABLED (tpu_gap_reset_s=0 — the
+    reference-faithful no-guard behavior) dead-reckons the whole gap and
+    never matches again."""
+    import dataclasses
+    import logging as _l
+
+    scans = []
+    for s in data.scans:
+        if s.begin_time >= 3.0:
+            s = dataclasses.replace(
+                s, begin_time=s.begin_time + 30.0, end_time=s.end_time + 30.0
+            )
+        scans.append(s)
+    events = [
+        dataclasses.replace(e, time=e.time + 30.0) if e.time >= 3.0 else e
+        for e in data.imu
+    ]
+    cfg = make_cfg("deferred")
+    cfg.tpu.gap_reset_s = 0.0
+    runner = OdometryRunner(cfg)
+    ev = iter(events)
+    pending = next(ev, None)
+    records = []
+
+    class Grab(_l.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = Grab()
+    _l.getLogger("legkilo_tpu.runner").addHandler(h)
+    try:
+        for scan in scans:
+            while pending is not None and pending.time <= scan.end_time + 0.5:
+                runner.add_imu(pending)
+                pending = next(ev, None)
+            runner.add_scan(scan)
+        runner.flush()
+    finally:
+        _l.getLogger("legkilo_tpu.runner").removeHandler(h)
+    assert any("match rate below" in m for m in records), (
+        "diverged run should alarm the operator"
+    )
+
+
 def test_backward_scan_jump_clears_and_recovers(data):
     """Scan timestamps regress 5 s mid-stream, then resume monotone: the
     scan cache clears (ros_interface.cc:175-182) and replay continues on
