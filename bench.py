@@ -223,19 +223,37 @@ def main() -> None:
             step = jax.jit(body, static_argnums=3, donate_argnums=0)
 
         # Warm-up / map bootstrap on the first packets (includes compile).
+        #
+        # Synchronization: this rig's PJRT client resolves
+        # jax.block_until_ready WITHOUT waiting for execution (measured:
+        # block on the full 100 MB carry returns in 0 s while
+        # np.asarray of a 3-float output waits 22 s for the enqueued
+        # work) — timing loops synced with block_until_ready measure the
+        # ENQUEUE rate, not execution.  Rounds 1-3 artifacts used block;
+        # every timed region here therefore materializes a small output
+        # to the host, which demonstrably forces completion.  See
+        # docs/PERF_NOTES.md "Round-4 rig: block_until_ready is a no-op".
         n_boot = max(1, 10 // scans_per_call)
         carry, out = step(carry, feed[0], params, scfg)
-        jax.block_until_ready(out.pos)
+        np.asarray(out.pos)
         for p in feed[1:n_boot]:
             carry, out = step(carry, p, params, scfg)
-        jax.block_until_ready(out.pos)
+        np.asarray(out.pos)
 
-        # Timed steady-state region.
+        # Timed steady-state region (materialized sync).  Streaming
+        # (chunk == 1) materializes every scan's pose — the latency a
+        # robot consuming poses actually sees; chunked replay
+        # materializes once at the end — offline throughput.
         timed = feed[n_boot:]
         t0 = time.perf_counter()
-        for p in timed:
-            carry, out = step(carry, p, params, scfg)
-        jax.block_until_ready(out.pos)
+        if scans_per_call == 1:
+            for p in timed:
+                carry, out = step(carry, p, params, scfg)
+                np.asarray(out.pos)
+        else:
+            for p in timed:
+                carry, out = step(carry, p, params, scfg)
+            np.asarray(out.pos)
         dt = time.perf_counter() - t0
         return dt / (len(timed) * scans_per_call) * 1e3
 

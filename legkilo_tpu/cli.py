@@ -23,6 +23,7 @@ import numpy as np
 
 from . import config as config_mod
 from .utils.timing import Timer
+from .utils.timing import sync as _sync
 
 log = logging.getLogger("legkilo_tpu")
 
@@ -395,7 +396,7 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
             for k in range(pos.shape[1]):
                 est.append(pos[:, k])
                 est_rot.append(rot[:, k])
-        jax.block_until_ready(stats)
+        _sync(stats)
         wall = time.perf_counter() - t0
         n_steps = len(chunks) * chunk
     else:
@@ -405,7 +406,7 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
             carry, out, stats = step(carry, shard_batch(dev, mesh), bparams)
             est.append(np.asarray(out.pos))
             est_rot.append(np.asarray(out.rot))
-        jax.block_until_ready(stats)
+        _sync(stats)
         wall = time.perf_counter() - t0
         n_steps = len(steps)
     times = [
@@ -521,12 +522,12 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     n_warm = min(3, len(devs) - 1)
     for dev in devs[:n_warm]:
         carry, out, stats = step(carry, dev, bparams)
-    jax.block_until_ready(stats)
+    _sync(stats)
 
     t0 = time.perf_counter()
     for dev in devs[n_warm:]:
         carry, out, stats = step(carry, dev, bparams)
-    jax.block_until_ready(stats)
+    _sync(stats)
     wall = time.perf_counter() - t0
     n_timed = len(packets) - n_warm
     if jax.process_index() == 0:

@@ -12,6 +12,7 @@ import time
 from typing import Dict, List, Sequence
 
 import jax
+from ..utils.timing import sync as _sync
 
 from ..core.filter import FilterParams, StaticConfig
 from .mesh import make_mesh, shard_batch
@@ -45,11 +46,11 @@ def measure_scaling(
         stats = None
         for p in dev_packets[:warmup]:
             carry, _, stats = step(carry, p, bparams)
-        jax.block_until_ready(stats)
+        _sync(stats)
         t0 = time.perf_counter()
         for p in dev_packets[warmup:]:
             carry, _, stats = step(carry, p, bparams)
-        jax.block_until_ready(stats)
+        _sync(stats)
         wall = time.perf_counter() - t0
         n_steps = len(dev_packets) - warmup
         rate = b * n_steps / wall

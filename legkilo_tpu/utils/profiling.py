@@ -14,6 +14,7 @@ import time
 from typing import Callable, Dict
 
 import jax
+from .timing import sync as _sync
 
 
 @contextlib.contextmanager
@@ -31,12 +32,12 @@ def device_time(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     """Median wall time of a jitted callable, synchronized."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

@@ -19,6 +19,27 @@ from typing import Dict
 log = logging.getLogger(__name__)
 
 
+def sync(tree) -> None:
+    """Real execution barrier for timing loops.
+
+    The round-4 tunnel rig's PJRT client resolves jax.block_until_ready
+    WITHOUT waiting for execution (measured: block on a 100 MB carry
+    returns in ~0 s while np.asarray of a 3-float output of the same
+    program waits 22 s) — loops synced with block_until_ready measure
+    the ENQUEUE rate, not execution (docs/PERF_NOTES.md "Round-4 rig").
+    Materializing one small leaf to the host is a true transitive
+    barrier on every rig; prefer this in ALL timed regions.
+    """
+    import numpy as np
+
+    leaves = [l for l in __import__("jax").tree.leaves(tree)
+              if hasattr(l, "dtype")]
+    if not leaves:
+        return
+    leaf = min(leaves, key=lambda l: getattr(l, "size", 1 << 60))
+    np.asarray(leaf)
+
+
 class _TimerRegistry:
     def __init__(self) -> None:
         self._avg: Dict[str, float] = {}

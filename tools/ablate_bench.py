@@ -119,7 +119,7 @@ def main() -> None:
     )
     for p in dev_packets[:10]:
         carry, out = step(carry, p, params, scfg)
-    jax.block_until_ready(out.pos)
+    np.asarray(out.pos)
     pkt = dev_packets[10]
 
     # ---- ablated whole-step variants (copies of _process_scan_fused) ----
@@ -206,13 +206,16 @@ def main() -> None:
         )
 
     def timeit(label, fn):
+        # np.asarray sync: this rig's block_until_ready resolves without
+        # waiting for execution (PERF_NOTES "Round-4 rig") — only host
+        # materialization is a real barrier.
         c = relayout(jax.tree.map(jnp.copy, carry))
         c, o = fn(c, pkt)
-        jax.block_until_ready(o)
+        np.asarray(o)
         t0 = time.perf_counter()
         for _ in range(args.reps):
             c, o = fn(c, pkt)
-        jax.block_until_ready(o)
+        np.asarray(o)
         dt = (time.perf_counter() - t0) / args.reps * 1e3
         print(f"{label:28s} {dt:7.2f} ms")
         return dt

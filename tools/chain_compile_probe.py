@@ -17,6 +17,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legkilo_tpu.utils.timing import sync as _sync
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -91,7 +93,7 @@ def main() -> None:
     out = run_chain_stats(
         carry, packet, params, s40, nmatch_b, use_kin=args.kin, interpret=False
     )
-    jax.block_until_ready(out[0].cov)
+    _sync(out[0].cov)
     t1 = time.perf_counter()
     print(f"compile+first-run: {t1 - t0:.1f} s", flush=True)
 
@@ -107,13 +109,13 @@ def main() -> None:
         out = run_chain_stats(
             carry, packet, params, s40, nmatch_b, use_kin=args.kin, interpret=False
         )
-    jax.block_until_ready(out[0].cov)
+    _sync(out[0].cov)
     t0 = time.perf_counter()
     for _ in range(args.reps):
         out = run_chain_stats(
             carry, packet, params, s40, nmatch_b, use_kin=args.kin, interpret=False
         )
-    jax.block_until_ready(out[0].cov)
+    _sync(out[0].cov)
     dt = (time.perf_counter() - t0) / args.reps * 1e3
     print(f"steady-state: {dt:.3f} ms/call", flush=True)
 

@@ -111,15 +111,18 @@ def main() -> None:
                 step = make_fleet_chunk_step(scfg)
                 feed = stack_fleet_chunks(steps, K)
                 spc = K
+            # np.asarray sync: this rig's block_until_ready resolves
+            # WITHOUT waiting for execution (PERF_NOTES "Round-4 rig") —
+            # only host materialization is a real barrier.
             t_first = time.perf_counter()
             carry, out, stats = step(carry, feed[0], bparams)
-            jax.block_until_ready(stats)
+            np.asarray(stats.mean_pos)
             compile_s = time.perf_counter() - t_first
             n_timed = min(args.windows, len(feed) - 1)
             t0 = time.perf_counter()
             for f in feed[1 : 1 + n_timed]:
                 carry, out, stats = step(carry, f, bparams)
-            jax.block_until_ready(stats)
+            np.asarray(stats.mean_pos)
             dt = (time.perf_counter() - t0) / n_timed
             row = {
                 "K": K, "B": B,

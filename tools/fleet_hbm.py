@@ -20,6 +20,7 @@ import sys
 import time
 
 import numpy as np
+from legkilo_tpu.utils.timing import sync as _sync
 
 
 def main() -> None:
@@ -118,12 +119,12 @@ def main() -> None:
             carry, out, stats = step(
                 carry, broadcast_packets(dev_packets[0], b), bparams
             )
-            jax.block_until_ready(stats)
+            _sync(stats)
             compile_s = time.perf_counter() - t_first
             t0 = time.perf_counter()
             for pk in dev_packets[1 : 1 + args.steps]:
                 carry, out, stats = step(carry, broadcast_packets(pk, b), bparams)
-            jax.block_until_ready(stats)
+            _sync(stats)
             dt = (time.perf_counter() - t0) / args.steps
             # memory_stats() is unimplemented on this PJRT plugin -> NaN;
             # json.dumps would emit a literal NaN (invalid JSON), so map

@@ -20,6 +20,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legkilo_tpu.utils.timing import sync as _sync
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -114,7 +116,7 @@ def main() -> None:
     )
     for p in dev_packets[:10]:
         carry, out = step(carry, p, params, scfg)
-    jax.block_until_ready(out.pos)
+    _sync(out.pos)
     pkt = dev_packets[10]
 
     mcfg = scfg.map_cfg
@@ -341,11 +343,11 @@ def main() -> None:
         # donated inputs instead; donation frees each after its call.
         cs = [relayout(jax.tree.map(jnp.copy, carry)) for _ in range(args.reps + 1)]
         c, o = fn(cs.pop(), pkt)
-        jax.block_until_ready(o)
+        _sync(o)
         t0 = time.perf_counter()
         for ci in cs:
             c, o = fn(ci, pkt)
-        jax.block_until_ready(o)
+        _sync(o)
         dt = (time.perf_counter() - t0) / args.reps * 1e3
         print(f"{label:28s} {dt:7.2f} ms")
         return dt

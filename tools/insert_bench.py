@@ -15,6 +15,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legkilo_tpu.utils.timing import sync as _sync
+
 
 def main() -> None:
     import jax
@@ -49,7 +51,7 @@ def main() -> None:
     vm = make_map(mc)
     # Populate the map once so probes hit occupied slots.
     vm = vmx.insert_points(vm, mc, p_w, var, mask)
-    jax.block_until_ready(vm.occ)
+    _sync(vm.occ)
 
     dtype = vm.mom.dtype
 
@@ -87,9 +89,9 @@ def main() -> None:
         )
 
     pt2, slot, ok = jax.jit(find_or_insert)(ptab_flat, keys, lvl_ids, mask_f)
-    jax.block_until_ready(slot)
+    _sync(slot)
     mom_rows = jax.jit(moments)(p_w, vc, var)
-    jax.block_until_ready(mom_rows)
+    _sync(mom_rows)
 
     def accumulate(meta_flat, mom_flat, slot, ok, mom_rows):
         meta_at = meta_flat.at[slot].get(mode="fill", fill_value=0.0)
@@ -104,7 +106,7 @@ def main() -> None:
     meta2, mom2, tgt, contrib = jax.jit(accumulate)(
         meta_flat, mom_flat, slot, ok, mom_rows
     )
-    jax.block_until_ready(meta2)
+    _sync(meta2)
 
     def thresholds(meta2, tgt, contrib):
         meta_t = meta2.at[tgt].get(mode="fill", fill_value=0.0)
@@ -119,7 +121,7 @@ def main() -> None:
         return refit, meta_t
 
     refit, meta_t = jax.jit(thresholds)(meta2, tgt, contrib)
-    jax.block_until_ready(refit)
+    _sync(refit)
 
     def dedup(refit, tgt):
         cand = jnp.where(refit, tgt, miss)
@@ -133,7 +135,7 @@ def main() -> None:
         )
 
     fs = jax.jit(dedup)(refit, tgt)
-    jax.block_until_ready(fs)
+    _sync(fs)
 
     def refit_fit(meta2, mom2, fs):
         meta_r = meta2.at[fs].get(mode="fill", fill_value=0.0)
@@ -143,23 +145,23 @@ def main() -> None:
         return fit
 
     fit = jax.jit(refit_fit)(meta2, mom2, fs)
-    jax.block_until_ready(fit.normal)
+    _sync(fit.normal)
 
     def full(vm, p_w, var, mask):
         return vmx.insert_points(vm, mc, p_w, var, mask)
 
     fvm = jax.jit(full)(vm, p_w, var, mask)
-    jax.block_until_ready(fvm.occ)
+    _sync(fvm.occ)
 
     reps = 30
 
     def timeit(label, fn, *a):
         outs = fn(*a)
-        jax.block_until_ready(jax.tree.leaves(outs)[0])
+        _sync(jax.tree.leaves(outs)[0])
         t0 = time.perf_counter()
         for _ in range(reps):
             outs = fn(*a)
-        jax.block_until_ready(jax.tree.leaves(outs)[0])
+        _sync(jax.tree.leaves(outs)[0])
         dt = (time.perf_counter() - t0) / reps * 1e3
         print(f"{label:24s} {dt:7.2f} ms")
 

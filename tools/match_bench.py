@@ -15,6 +15,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legkilo_tpu.utils.timing import sync as _sync
+
 
 def main() -> None:
     import jax
@@ -68,7 +70,7 @@ def main() -> None:
     carry = init_carry(scfg)
     for p in dev[:10]:
         carry, out = step(carry, p, params, scfg)
-    jax.block_until_ready(out.pos)
+    _sync(out.pos)
     pkt = dev[10]
 
     mcfg = scfg.map_cfg
@@ -176,11 +178,11 @@ def main() -> None:
 
     def timeit(label, fn, *a, reps=50):
         outs = fn(*a)
-        jax.block_until_ready(jax.tree.leaves(outs)[0])
+        _sync(jax.tree.leaves(outs)[0])
         t0 = time.perf_counter()
         for _ in range(reps):
             outs = fn(*a)
-        jax.block_until_ready(jax.tree.leaves(outs)[0])
+        _sync(jax.tree.leaves(outs)[0])
         dt = (time.perf_counter() - t0) / reps * 1e3
         print(f"{label:32s} {dt:7.3f} ms")
 

@@ -19,6 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legkilo_tpu.utils.timing import sync as _sync
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -93,7 +95,7 @@ def main() -> None:
     carry = init_carry(scfg)
     for p in dev_packets[:10]:
         carry, out = step(carry, p, params, scfg)
-    jax.block_until_ready(out.pos)
+    _sync(out.pos)
     pkt = dev_packets[10]
 
     # --- standalone phases --------------------------------------------------
@@ -110,7 +112,7 @@ def main() -> None:
 
         jmc = jax.jit(phase_match_c)
         s40, nmatch_b, aux = jmc(carry, pkt)
-        jax.block_until_ready(s40)
+        _sync(s40)
         (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
          own_keys, own_slot, own_found, own_plane) = aux
 
@@ -123,7 +125,7 @@ def main() -> None:
 
         jcc = jax.jit(phase_chain_c)
         cc_out = jcc(carry, pkt, s40, nmatch_b)
-        jax.block_until_ready(cc_out[1])
+        _sync(cc_out[1])
         _, rots_c, poss_c, rcov_c, pcov_c, _ = cc_out
 
         def phase_insert_c(carry, bidx, p_i_c, cross_c, body_cov_c, mask_c,
@@ -150,15 +152,15 @@ def main() -> None:
         iout = jic(carry, bidx, p_i_c, cross_c, body_cov_c, mask_c,
                    rots_c, poss_c, rcov_c, pcov_c, own_keys, own_slot,
                    own_found, own_plane)
-        jax.block_until_ready(iout.occ)
+        _sync(iout.occ)
 
         def timeit2(label, fn, *a):
             outs = fn(*a)
-            jax.block_until_ready(jax.tree.leaves(outs)[0])
+            _sync(jax.tree.leaves(outs)[0])
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 outs = fn(*a)
-            jax.block_until_ready(jax.tree.leaves(outs)[0])
+            _sync(jax.tree.leaves(outs)[0])
             dt = (time.perf_counter() - t0) / args.reps * 1e3
             print(f"{label:28s} {dt:7.2f} ms")
 
@@ -172,7 +174,7 @@ def main() -> None:
         c = carry
         for p in dev_packets[10:]:
             c, out = step(c, p, params, scfg)
-        jax.block_until_ready(out.pos)
+        _sync(out.pos)
         dt = (time.perf_counter() - t0) / len(dev_packets[10:]) * 1e3
         print(f"{'full pipeline':28s} {dt:7.2f} ms")
         return
@@ -181,7 +183,7 @@ def main() -> None:
         return fd._batched_match(carry, packet, params, scfg)
 
     match_out = jax.jit(phase_match)(carry, pkt)
-    jax.block_until_ready(match_out[0])
+    _sync(match_out[0])
 
     p_i, normal, center, r_meas, matched, crossmat = match_out
 
@@ -195,7 +197,7 @@ def main() -> None:
     chain_out = jax.jit(phase_chain)(
         carry, pkt, p_i, normal, center, r_meas, matched
     )
-    jax.block_until_ready(chain_out[1])
+    _sync(chain_out[1])
     _, rots, poss, rot_covs, pos_covs, nmatch = chain_out
 
     nb, pp, _ = pkt.points.shape
@@ -224,16 +226,16 @@ def main() -> None:
     ins_out = jax.jit(phase_insert)(
         carry, pkt, rots, poss, rot_covs, pos_covs, crossmat
     )
-    jax.block_until_ready(ins_out.occ)
+    _sync(ins_out.occ)
 
     def timeit(label, fn, *a):
         # Pipelined dispatch: launch reps then sync once.
         outs = fn(*a)
-        jax.block_until_ready(jax.tree.leaves(outs)[0])
+        _sync(jax.tree.leaves(outs)[0])
         t0 = time.perf_counter()
         for _ in range(args.reps):
             outs = fn(*a)
-        jax.block_until_ready(jax.tree.leaves(outs)[0])
+        _sync(jax.tree.leaves(outs)[0])
         dt = (time.perf_counter() - t0) / args.reps * 1e3
         print(f"{label:28s} {dt:7.2f} ms")
         return dt
@@ -252,7 +254,7 @@ def main() -> None:
     c = carry
     for p in dev_packets[10:]:
         c, out = js(c, p, params, scfg)
-    jax.block_until_ready(out.pos)
+    _sync(out.pos)
     dt = (time.perf_counter() - t0) / len(dev_packets[10:]) * 1e3
     print(f"{'full pipeline':28s} {dt:7.2f} ms")
 

@@ -19,6 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legkilo_tpu.utils.timing import sync as _sync
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -27,11 +29,11 @@ import jax.numpy as jnp
 
 def timeit(fn, *args, reps=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps * 1e3
 
 
@@ -138,11 +140,11 @@ def donated_variants():
     def timeit_d(label, fn, table_shape, *args):
         t = jnp.zeros(table_shape, jnp.float32)
         t = fn(t, *args)
-        jax.block_until_ready(t)
+        _sync(t)
         t0 = time.perf_counter()
         for _ in range(30):
             t = fn(t, *args)
-        jax.block_until_ready(t)
+        _sync(t)
         print(f"{label:36s} {(time.perf_counter()-t0)/30*1e3:8.2f} ms")
 
     @jax.jit
@@ -184,11 +186,11 @@ def donated_variants():
         t = jnp.zeros((M, D), jnp.float32)
         m = jnp.zeros((M, 5), jnp.float32)
         t, m = fn(t, m, idx_oob, rows, meta_rows)
-        jax.block_until_ready(t)
+        _sync(t)
         t0 = time.perf_counter()
         for _ in range(30):
             t, m = fn(t, m, idx_oob, rows, meta_rows)
-        jax.block_until_ready(t)
+        _sync(t)
         print(f"{label:36s} {(time.perf_counter()-t0)/30*1e3:8.2f} ms")
 
     timeit_2("donated full accumulate shape", two_scats_d)

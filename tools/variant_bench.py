@@ -20,6 +20,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legkilo_tpu.utils.timing import sync as _sync
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -100,19 +102,19 @@ def main() -> None:
             step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
             t0 = time.perf_counter()
             carry, out = step(carry, dev_packets[0], params, scfg)
-            jax.block_until_ready(out.pos)
+            _sync(out.pos)
             if rep == 0:
                 # Later reps hit the in-process compile cache; only the
                 # first rep's first call measures the real compile cost.
                 compile_s = time.perf_counter() - t0
             for pk in dev_packets[1:10]:
                 carry, out = step(carry, pk, params, scfg)
-            jax.block_until_ready(out.pos)
+            _sync(out.pos)
             timed = dev_packets[10:]
             t0 = time.perf_counter()
             for pk in timed:
                 carry, out = step(carry, pk, params, scfg)
-            jax.block_until_ready(out.pos)
+            _sync(out.pos)
             best = min(best, (time.perf_counter() - t0) / len(timed) * 1e3)
         return best, compile_s
 
