@@ -57,7 +57,13 @@ def main() -> None:
     cfg.lidar.filter_num = 1
     cfg.lidar.blind = 0.3
     cfg.lidar.voxel_grid_resolution = 0.3
-    cfg.voxel_map.capacity_log2 = 16
+    # 2^14 slots/level: ATE-equal to 2^16 on this workload (0.0067 vs
+    # 0.0069 m, CPU-verified) and ~15-20% faster under honest sync on the
+    # round-4 rig (4.4 vs 5.5 ms/scan — smaller tables shrink the
+    # insert-phase gathers/scatters).  Claim-failure counters rise
+    # (3.8k -> 9.6k over 8 s) but only in level-2 child voxels beneath
+    # planar parents, which matching never reaches (ancestor gate).
+    cfg.voxel_map.capacity_log2 = 14
     # 4 ms buckets: half the sequential ESKF chain depth of the reference's
     # 2 ms design at equal trajectory quality (ATE 0.005 m either way on the
     # bench workload; see docs/PERF_NOTES.md).  Same total point rows.
