@@ -131,3 +131,61 @@ def test_custom_bucket_quantum(rng):
     assert (np.abs(steps / 0.004 - np.round(steps / 0.004)) < 1e-6).all()
     # Coarser buckets => at most ceil(30ms/4ms)+1 of them.
     assert pkt.bucket_mask.sum() <= 9
+
+
+def _scan(t0, rng, n=64):
+    pts = rng.uniform(2.0, 5.0, size=(n, 3)).astype(np.float32)
+    return ds.RawScan(
+        begin_time=t0, end_time=t0 + 0.1, points=pts,
+        time_offset=np.linspace(0, 0.1, n, endpoint=False).astype(np.float32),
+    )
+
+
+def test_event_spill_packets_preserve_every_event(rng):
+    """A sensor gap queues more pre-scan events than kmax bucket-0 slots:
+    pop() must emit event-only packets carrying ALL of them, in order
+    (the reference's unbounded MeasGroup deque, KILO.cc:380-390)."""
+    cfg = make_cfg(nb=8, pmax=32, kmax=2)
+    b = ds.PacketBuilder(cfg)
+    # First scan establishes _last_begin.
+    for k in range(7):
+        b.add_imu(ds.ImuEvent(time=0.02 * k, acc=np.zeros(3), gyr=np.zeros(3)))
+    b.add_scan(_scan(0.0, rng))
+    b.add_imu(ds.ImuEvent(time=0.14, acc=np.zeros(3), gyr=np.zeros(3)))
+    assert b.ready()
+    first = b.pop()
+    assert first.bucket_mask.any()
+    # Gap: no scans for 1 s; 50 events queue, then a scan + closer event.
+    times = [0.15 + 0.02 * k for k in range(50)]
+    for t in times:
+        b.add_imu(ds.ImuEvent(time=t, acc=np.full(3, t), gyr=np.zeros(3)))
+    b.add_scan(_scan(1.2, rng))
+    b.add_imu(ds.ImuEvent(time=1.35, acc=np.zeros(3), gyr=np.zeros(3)))
+
+    got, kinds = [], []
+    while b.ready():
+        p = b.pop()
+        kinds.append("scan" if p.bucket_mask.any() else "events")
+        et = (p.begin_time + p.imu_time)[p.imu_mask]
+        got.extend(np.round(et, 6).tolist())
+        if kinds[-1] == "scan":
+            break
+    assert kinds.count("events") >= 3, kinds  # 50 events / (8*2) per packet
+    # Every gap event (< scan begin) was delivered, in order — the 50
+    # injected ones plus the two leftovers (0.12, 0.14) queued after the
+    # first scan's end.
+    gap = [t for t in got if t < 1.2]
+    assert len(gap) == 52
+    assert gap == sorted(gap)
+    np.testing.assert_allclose(gap[2:], times, atol=1e-6)
+
+
+def test_stale_scan_rejected(rng):
+    cfg = make_cfg()
+    b = ds.PacketBuilder(cfg)
+    for k in range(9):
+        b.add_imu(ds.ImuEvent(time=0.02 * k, acc=np.zeros(3), gyr=np.zeros(3)))
+    b.add_scan(_scan(0.0, rng))
+    assert b.pop() is not None
+    b.add_scan(_scan(-5.0, rng))          # entirely in the emitted past
+    assert not b._scans                    # dropped, not queued
