@@ -86,10 +86,12 @@ def main() -> None:
     # falls back to the lax.scan chain.
     use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "1") == "1"
     use_pallas_match = os.environ.get("LEGKILO_BENCH_PALLAS_MATCH", "1") == "1"
-    # Off by default: with the carry pinned row-major, the refit kernel's
-    # transposed inputs re-trigger a whole-table layout conversion
-    # (+0.56 ms); it only pays on rigs where layouts float (PERF_NOTES.md).
-    use_pallas_refit = os.environ.get("LEGKILO_BENCH_PALLAS_REFIT", "0") == "1"
+    # Default ON since round 4: on the kernel-tax rig the one-launch refit
+    # kernel wins 8% (3.35 vs 3.64 ms/scan pinned, honest sync); the
+    # round-1 "+0.56 ms with pins" regression does not reproduce here
+    # (this jax drops layout pins at compile time anyway — PERF_NOTES
+    # "Layout pinning").
+    use_pallas_refit = os.environ.get("LEGKILO_BENCH_PALLAS_REFIT", "1") == "1"
     cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
     # Ancestor-gated insertion: child levels only accumulate under non-plane
     # parents (the reference's UpdateOctoTree descent).  In planar steady
