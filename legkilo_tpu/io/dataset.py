@@ -196,6 +196,14 @@ class PacketBuilder:
     def add_imu(self, ev: ImuEvent) -> None:
         if self.use_kin:
             return
+        # A single non-finite sample (sensor glitch, truncated message)
+        # would poison the filter state permanently; drop it here.  The
+        # reference has no such guard (raw msg fields go straight into
+        # the deques, ros_interface.cc:194-219).
+        if not (np.isfinite(ev.time) and np.isfinite(ev.acc).all()
+                and np.isfinite(ev.gyr).all()):
+            log.warning("non-finite IMU sample at t=%r dropped", ev.time)
+            return
         if ev.time < self._last_event_time:
             self._events.clear()
         self._last_event_time = ev.time
@@ -203,6 +211,12 @@ class PacketBuilder:
 
     def add_kin_imu(self, ev: KinImuEvent) -> None:
         if not self.use_kin:
+            return
+        if not (np.isfinite(ev.time) and np.isfinite(ev.acc).all()
+                and np.isfinite(ev.gyr).all()
+                and np.isfinite(ev.foot_pos).all()
+                and np.isfinite(ev.foot_vel).all()):
+            log.warning("non-finite kin sample at t=%r dropped", ev.time)
             return
         if ev.time < self._last_event_time:
             self._events.clear()

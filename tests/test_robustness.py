@@ -221,3 +221,20 @@ def test_backward_scan_jump_clears_and_recovers(data):
     scans.insert(k, stale)
     res = replay(make_cfg(), scans, data.imu)
     check_health(data, res, final_err_bound=0.8, min_results=20)
+
+
+def test_nonfinite_imu_samples_dropped(data):
+    """A NaN accelerometer sample (sensor glitch / truncated message)
+    must be dropped at ingestion — one NaN reaching the filter poisons
+    the state permanently.  The reference has no such guard."""
+    import dataclasses
+
+    events = []
+    for i, e in enumerate(data.imu):
+        events.append(e)
+        if 2.0 <= e.time < 2.5 and i % 3 == 0:
+            bad = np.array(e.acc, dtype=float).copy()
+            bad[1] = np.nan
+            events.append(dataclasses.replace(e, time=e.time + 1e-4, acc=bad))
+    res = replay(make_cfg(), data.scans, events)
+    check_health(data, res, final_err_bound=0.3)
