@@ -30,10 +30,10 @@ def sync(tree) -> None:
     Materializing one small leaf to the host is a true transitive
     barrier on every rig; prefer this in ALL timed regions.
     """
+    import jax
     import numpy as np
 
-    leaves = [l for l in __import__("jax").tree.leaves(tree)
-              if hasattr(l, "dtype")]
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "dtype")]
     if not leaves:
         return
     leaf = min(leaves, key=lambda l: getattr(l, "size", 1 << 60))
