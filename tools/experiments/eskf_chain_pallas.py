@@ -5,9 +5,9 @@ interpret mode but Mosaic compile time for its shape was pathological
 (>19 min; docs/PERF_NOTES.md), so production ships the sufficient-statistics
 kernel (chain_stats.py) instead.  Kept for the compile-bisect findings
 documented in PERF_NOTES; not imported by the package.
-"""
 
-"""Fused Pallas kernel: the entire per-scan ESKF chain in ONE kernel.
+Original description — fused Pallas kernel: the entire per-scan ESKF
+chain in ONE kernel.
 
 The sequential predict/update recursion over ~56 time-buckets is the
 latency floor of the filter: expressed in plain XLA it emits ~20 small
