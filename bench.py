@@ -432,10 +432,15 @@ def orchestrate() -> int:
                 return None, f"{mode}: timeout after {timeout_s:.0f}s"
         lines = [l for l in stdout.splitlines() if l.startswith("{")]
         if rc == 0 and lines:
-            try:
-                return json.loads(lines[-1]), ""
-            except json.JSONDecodeError:
-                return None, f"{mode}: unparsable output {lines[-1]!r}"
+            # A timeout can kill the child mid-print, truncating the last
+            # JSON line; walk back to the newest line that parses (main()
+            # re-prints the full headline after each extra key).
+            for line in reversed(lines):
+                try:
+                    return json.loads(line), ""
+                except json.JSONDecodeError:
+                    continue
+            return None, f"{mode}: unparsable output {lines[-1]!r}"
         return None, f"{mode}: rc={rc} stderr={stderr[-1500:]}"
 
     errs = []

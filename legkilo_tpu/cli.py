@@ -223,7 +223,13 @@ def _add_multihost_args(p) -> None:
 
 
 def _packets_from_streams(cfg, scans, events, use_kin: bool):
-    """scans + events -> ordered HostPackets (the run_offline feed loop)."""
+    """scans + events -> ordered HostPackets (the run_offline feed loop).
+
+    NOTE: the fleet sweep consumes these packets through a batched step with
+    no per-replica host intervention, so the streaming path's
+    tpu_gap_reset_s soft reset cannot be applied there — fleet replay is
+    gap-UNSAFE (a >gap sensor hole is mean-propagated).  We surface any
+    such gap loudly here instead of silently diverging."""
     from .io.dataset import PacketBuilder
 
     builder = PacketBuilder(cfg)
@@ -240,6 +246,16 @@ def _packets_from_streams(cfg, scans, events, use_kin: bool):
         builder.add_scan(scan)
         while builder.ready():
             packets.append(builder.pop())
+    gap = float(cfg.tpu.gap_reset_s)
+    if gap > 0.0:
+        for p in packets:
+            if p.rebase > gap:
+                log.warning(
+                    "staged packet has a %.1f s sensor gap (> tpu_gap_reset_s"
+                    "=%.1f); fleet replay cannot soft-reset per replica — "
+                    "this stream's trajectory will differ from streaming "
+                    "replay (use `run` for gap recovery)", p.rebase, gap,
+                )
     return packets
 
 

@@ -371,14 +371,21 @@ def update_by_kin_imu(
 
     Masked rows (H row = 0, z = 0, R = 1) contribute a zero gain column, so
     the padded 18-row shape is exact for any contact count 0-4.
+
+    The innovation inverse uses the closed-form nested-Schur ``inv18``
+    (eskf_fused) instead of ``jnp.linalg.solve``: the solve lowers to
+    unfusable LU loops (see the module inverse rationale above), while the
+    18x18 system here is SPD (H P H^T + diag(R), R >= kin noise > 0) so the
+    block-Schur form is exact; equality with the solve path is pinned by
+    tests/test_eskf.py.
     """
+    from .eskf_fused import inv18
+
     pht = cov @ jnp.swapaxes(h, -1, -2)                 # [..., 30, 18]
     s = h @ pht                                          # [..., 18, 18]
     n = s.shape[-1]
     s = s.at[..., jnp.arange(n), jnp.arange(n)].add(r)
-    k = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(s, -1, -2), jnp.swapaxes(pht, -1, -2)), -1, -2
-    )
+    k = pht @ inv18(s)
     if gate is not None:
         k = k * gate[..., None, None]
     dx = jnp.einsum("...ij,...j->...i", k, z)

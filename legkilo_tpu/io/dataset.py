@@ -251,7 +251,12 @@ class PacketBuilder:
                 if e.time > scan.begin_time:
                     break
                 n_pre += 1
-            if n_pre > self.kmax:
+            # Spill when the pre-scan backlog would leave bucket 0 no
+            # headroom: bucket-0's kmax slots must also hold the scan's own
+            # first-bucket events, so n_pre == kmax (not just > kmax) already
+            # overflows whenever bucket 0 is non-empty.  >= keeps the scan
+            # packet's bucket 0 entirely free for in-window events.
+            if n_pre >= self.kmax:
                 batch = self._events[: min(n_pre, self.nb * self.kmax)]
                 self._events = self._events[len(batch):]
                 return self._build_event_packet(batch)

@@ -487,9 +487,27 @@ def _run_offline_chunked(
         )
         i0 += 1
     step_chunk = jax.jit(process_scan_chunk, static_argnums=3)
+    gap = float(cfg.tpu.gap_reset_s)
+
+    def _is_gap(pkt: HostPacket) -> bool:
+        return gap > 0.0 and pkt.rebase > gap
+
     idx = i0
     while idx < len(staged):
-        grp = staged[idx : idx + chunk]
+        # Same soft-reset policy as the streaming path (_dispatch): a
+        # sensor-time gap above tpu_gap_reset_s must not be mean-propagated.
+        # Chunks are split at gap packets so the reset lands between
+        # dispatches, preserving trajectory equivalence with streaming replay.
+        if _is_gap(staged[idx][1]):
+            log.warning(
+                "sensor-time gap %.1f s >= tpu_gap_reset_s=%.1f: soft reset "
+                "(chunked replay)", staged[idx][1].rebase, gap,
+            )
+            runner.carry = soft_reset_carry(runner.carry, staged[idx][1].rebase)
+        end = idx + 1
+        while end < min(idx + chunk, len(staged)) and not _is_gap(staged[end][1]):
+            end += 1
+        grp = staged[idx:end]
         idx += len(grp)
         devs = [to_device_packet(p) for _, p in grp]
         if len(devs) == chunk:

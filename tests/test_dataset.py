@@ -180,6 +180,47 @@ def test_event_spill_packets_preserve_every_event(rng):
     np.testing.assert_allclose(gap[2:], times, atol=1e-6)
 
 
+def test_event_spill_at_exactly_kmax_preserves_bucket0_room(rng):
+    """n_pre == kmax must ALSO spill: bucket-0's kmax slots have to hold the
+    scan's own in-window events, so a backlog that exactly fills them would
+    silently drop those (the round-4 advisor finding).  With >= spill
+    semantics no event is lost."""
+    cfg = make_cfg(nb=8, pmax=32, kmax=2)
+    b = ds.PacketBuilder(cfg)
+    for k in range(7):
+        b.add_imu(ds.ImuEvent(time=0.02 * k, acc=np.zeros(3), gyr=np.zeros(3)))
+    b.add_scan(_scan(0.0, rng))
+    b.add_imu(ds.ImuEvent(time=0.14, acc=np.zeros(3), gyr=np.zeros(3)))
+    assert b.pop() is not None  # establishes _last_begin
+    # Exactly kmax=2 pre-scan stragglers (the 0.12/0.14 leftovers), plus a
+    # scan whose FIRST bucket starts 10 ms in (early points blind-filtered
+    # away), so events in (begin, begin+0.01) belong to bucket 0 as well.
+    pts = rng.uniform(2.0, 5.0, size=(64, 3)).astype(np.float32)
+    scan = ds.RawScan(
+        begin_time=0.2, end_time=0.3, points=pts,
+        time_offset=np.linspace(0.01, 0.1, 64, endpoint=False).astype(np.float32),
+    )
+    b.add_scan(scan)
+    in_window = [0.203, 0.207]  # both precede the first bucket => bucket 0
+    for t in in_window:
+        b.add_imu(ds.ImuEvent(time=t, acc=np.full(3, t), gyr=np.zeros(3)))
+    b.add_imu(ds.ImuEvent(time=0.35, acc=np.zeros(3), gyr=np.zeros(3)))
+    got, kinds = [], []
+    while b.ready():
+        p = b.pop()
+        kinds.append("scan" if p.bucket_mask.any() else "events")
+        et = (p.begin_time + p.imu_time)[p.imu_mask]
+        got.extend(np.round(et, 6).tolist())
+        assert p.dropped_events == 0, "spill gate must leave bucket-0 room"
+        if kinds[-1] == "scan":
+            break
+    assert kinds[0] == "events", "kmax pre-events must spill, not squeeze"
+    # both stragglers AND every in-window event that precedes the last
+    # bucket survive (f32 storage: compare with tolerance)
+    for t in [0.12, 0.14] + in_window:
+        assert any(abs(g - t) < 1e-4 for g in got), f"event {t} was dropped"
+
+
 def test_stale_scan_rejected(rng):
     cfg = make_cfg()
     b = ds.PacketBuilder(cfg)

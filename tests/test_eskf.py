@@ -268,6 +268,48 @@ def test_update_by_kin_imu_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(jcov), ocov, atol=3e-3)
 
 
+def test_kin_imu_inv18_equals_solve_path(rng):
+    """The closed-form inv18 gain must equal the generic solve gain.
+
+    update_by_kin_imu replaced jnp.linalg.solve with eskf_fused.inv18
+    (solve lowers to unfusable LU loops on TPU); this pins the two
+    algebraic routes to each other on the exact innovation system the
+    update builds (SPD: H P H^T + diag(R))."""
+    from legkilo_tpu.core.eskf_fused import inv18
+
+    cfg = EskfConfig()
+    noise = eskf.make_noise_params(cfg)
+    for contact in (
+        np.array([True, False, True, True]),
+        np.array([False, False, False, False]),
+        np.array([True, True, True, True]),
+    ):
+        s = random_state(rng)
+        cov = random_cov(rng)
+        js = to_jax(s)
+        h, z, r, _ = eskf.build_kin_obs(
+            js,
+            jnp.asarray(rng.normal(size=3) + np.array([0, 0, 9.8]), dtype=jnp.float32),
+            jnp.asarray(rng.normal(size=3), dtype=jnp.float32),
+            jnp.asarray(rng.normal(size=(4, 3)) * 0.3, dtype=jnp.float32),
+            jnp.asarray(rng.normal(size=(4, 3)) * 0.2, dtype=jnp.float32),
+            jnp.asarray(contact),
+            noise,
+            jnp.float32(1.004),
+        )
+        jcov = jnp.asarray(cov, dtype=jnp.float32)
+        pht = jcov @ h.T
+        svar = h @ pht + jnp.diag(r)
+        k_closed = np.asarray(pht @ inv18(svar))
+        k_solve = np.asarray(
+            jnp.linalg.solve(svar.T, pht.T).T
+        )
+        np.testing.assert_allclose(k_closed, k_solve, atol=2e-4)
+        # and the full update stays pinned to the float64 oracle route
+        s2, c2 = eskf.update_by_kin_imu(js, jcov, h, z, r)
+        assert np.isfinite(np.asarray(c2)).all()
+
+
 def test_batched_predict_update_vmap(rng):
     """Batched leading axis must agree with per-item results (replica axis)."""
     cfg = EskfConfig()

@@ -205,6 +205,39 @@ def test_match_collapse_warns_operator(data):
     )
 
 
+def test_gap_soft_reset_chunked_matches_streaming(data):
+    """The tpu_gap_reset_s soft reset must fire in CHUNKED replay exactly
+    where streaming replay fires it: chunks split at gap packets, so a
+    +30 s splice produces the same trajectory in both modes (the chunked
+    step itself is bit-identical to per-scan stepping)."""
+    import dataclasses
+
+    from legkilo_tpu.runner import run_offline
+
+    scans = []
+    for s in data.scans:
+        if s.begin_time >= 3.0:
+            s = dataclasses.replace(
+                s, begin_time=s.begin_time + 30.0, end_time=s.end_time + 30.0
+            )
+        scans.append(s)
+    events = [
+        dataclasses.replace(e, time=e.time + 30.0) if e.time >= 3.0 else e
+        for e in data.imu
+    ]
+    cfg = make_cfg("deferred")
+    cfg.tpu.pipeline_depth = 0
+    assert cfg.tpu.gap_reset_s > 0  # the guard under test is on
+    res_s = run_offline(cfg, scans, events)
+    res_c = run_offline(cfg, scans, events, chunk=4)
+    assert len(res_s) == len(res_c)
+    for a, b in zip(res_s, res_c):
+        np.testing.assert_allclose(a.pos, b.pos, atol=1e-5)
+        np.testing.assert_allclose(a.rot, b.rot, atol=1e-5)
+    # and both stay matched on the far side of the splice (reset worked)
+    assert max(r.n_matched for r in res_c[-5:]) > 100
+
+
 def test_backward_scan_jump_clears_and_recovers(data):
     """Scan timestamps regress 5 s mid-stream, then resume monotone: the
     scan cache clears (ros_interface.cc:175-182) and replay continues on

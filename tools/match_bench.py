@@ -83,7 +83,7 @@ def main() -> None:
 
     # ---- stage 1: compaction + gathers -------------------------------------
     def stage1(carry, packet):
-        rb, pb = fd._predicted_bucket_poses(carry, packet)
+        rb, pb = fd._predicted_bucket_poses(carry, packet, params, scfg)
         mask_f = (packet.point_mask & packet.bucket_mask[:, None]).reshape(-1)
         order = fd._compact_order(mask_f, cap)
         mask_c = fd._gather(mask_f, order, fill=False)
