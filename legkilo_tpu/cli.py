@@ -290,6 +290,44 @@ def _load_bag_streams(cfg, path: str):
     return scans, events
 
 
+def _save_fleet_ckpt(path, carry, bparams, n_done: int) -> str:
+    """Fleet checkpoint: the batched carry (every replica's full filter:
+    state, covariance, clocks, voxel map) + the per-replica FilterParams +
+    the fleet step cursor.  Same .npz container as the single-filter
+    checkpoint (io/checkpoint.py) — the fleet carry is the identical
+    pytree with a leading replica axis."""
+    import jax
+
+    from .io import checkpoint as ckpt
+
+    leaves, _ = jax.tree.flatten(bparams)
+    extras = {f"bp_{i:03d}": np.asarray(l) for i, l in enumerate(leaves)}
+    return ckpt.save(path, carry, step=int(n_done), extras=extras)
+
+
+def _load_fleet_ckpt(path, carry_like, bparams_like):
+    """Restore (carry, bparams, n_done) saved by _save_fleet_ckpt; shapes
+    are validated against the freshly-built templates (config/replica-count
+    mismatches fail loudly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .io import checkpoint as ckpt
+
+    carry, step, extras = ckpt.load(path, carry_like)
+    leaves, treedef = jax.tree.flatten(bparams_like)
+    new = []
+    for i, leaf in enumerate(leaves):
+        arr = extras[f"bp_{i:03d}"]
+        if arr.shape != jnp.shape(leaf):
+            raise ValueError(
+                f"fleet checkpoint param {i} shape {arr.shape} != "
+                f"{jnp.shape(leaf)} (replica count / config mismatch?)"
+            )
+        new.append(jnp.asarray(arr, dtype=leaf.dtype))
+    return carry, jax.tree.unflatten(treedef, new), int(step or 0)
+
+
 def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
     """Distinct-replay fleet sweep: every replica advances through its OWN
     bag each step (the in_axes=0 path; BASELINE.json's batched-bag-replay
@@ -387,12 +425,23 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
         np.stack(mean_accs), np.stack(mean_gyrs),
         np.asarray(end_offsets), float(cfg.gravity),
     )
+    n_done = 0
+    if getattr(args, "resume", None):
+        carry, bparams, n_done = _load_fleet_ckpt(args.resume, carry, bparams)
+        log.info("Resumed fleet from %s at step %d", args.resume, n_done)
     carry = shard_batch(carry, mesh)
     bparams = shard_batch(bparams, mesh)
 
     steps = stack_packets(
         [[to_device_packet(p) for p in seq[1:]] for seq in pkt_seqs]
     )
+    max_steps = max(0, int(getattr(args, "max_steps", 0) or 0))
+    hi = min(len(steps), n_done + max_steps) if max_steps else len(steps)
+    steps = steps[n_done:hi]
+    if not steps:
+        print(json.dumps({"error": "no steps left to replay "
+                          f"(resumed at {n_done})"}))
+        return 1
     chunk = max(1, int(getattr(args, "chunk", 0) or 1))
     chunk = min(chunk, len(steps))
 
@@ -426,7 +475,8 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
         wall = time.perf_counter() - t0
         n_steps = len(steps)
     times = [
-        [p.end_time for p in seq[1 : 1 + n_steps]] for seq in pkt_seqs
+        [p.end_time for p in seq[1 + n_done : 1 + n_done + n_steps]]
+        for seq in pkt_seqs
     ]
     est = np.stack(est)          # [T, B, 3]
     est_rot = np.stack(est_rot)  # [T, B, 3, 3]
@@ -439,6 +489,12 @@ def _sweep_distinct(args, cfg, multihost_run: bool) -> int:
         "mean_matched": round(float(stats.mean_matched), 1),
         "chunk": chunk,
     }
+    if n_done:
+        report["resumed_at"] = n_done
+    if getattr(args, "save_ckpt", None) and jax.process_index() == 0:
+        path = _save_fleet_ckpt(args.save_ckpt, carry, bparams,
+                                n_done + n_steps)
+        report["checkpoint"] = path
     if datas is not None:
         ates = []
         for r, d in enumerate(datas):
@@ -733,6 +789,16 @@ def main(argv=None) -> int:
                       help="with --distinct/--bags: advance the fleet N "
                            "scans per dispatch (vmap(process_scan_chunk); "
                            "offline throughput mode)")
+    p_sw.add_argument("--save_ckpt", default=None,
+                      help="with --distinct/--bags: write a FLEET checkpoint "
+                           "(.npz: batched carry + per-replica params) at "
+                           "sweep end")
+    p_sw.add_argument("--resume", default=None,
+                      help="with --distinct/--bags: restore a fleet "
+                           "checkpoint and continue from the saved scan")
+    p_sw.add_argument("--max_steps", type=int, default=0,
+                      help="with --distinct/--bags: stop after N fleet steps "
+                           "(use with --save_ckpt to split long sweeps)")
     _add_multihost_args(p_sw)
     p_sw.set_defaults(fn=cmd_sweep)
 
