@@ -146,6 +146,31 @@ class TpuConfig:
     # 2 recovers sequential-quality association at the dynamics-envelope
     # edge for ~2x the match/chain cost.  See core/filter.py.
     match_iters: int = 1
+    # Auto-escalating iterated matching (streaming runner only): when the
+    # match rate stays below `escalate_ratio` for `escalate_after`
+    # consecutive scans, the runner switches the deferred pipeline onto a
+    # match_iters=`match_iters_escalated` variant with no operator action,
+    # falling back after `deescalate_after` consecutive scans above
+    # `escalate_ratio` + 0.1.  The TPU-native analog of the reference's
+    # per-bucket in-scan feedback (KILO.cc:108-233, 373-395), which
+    # self-corrects association within a scan and needs no knob.
+    # The ratio is deliberately well above the 20% hard-collapse alarm:
+    # envelope-edge divergence is SOFT — association quality rots at
+    # 35-60% match rate without ever collapsing (measured on the
+    # +-0.3 rad @ 4 Hz extreme sim) — and a false escalation merely costs
+    # ~+20% latency per extra pass, while a missed one costs the
+    # trajectory.  escalate_after=0 disables.
+    # Escalation is STICKY by default (deescalate_after=0 = never release):
+    # on the extreme-envelope sim, de-escalating after the rate recovered
+    # let drift re-accrue faster than the trigger could catch it
+    # (0.15 m -> 3.8 m within 15 scans, measured), because by then the map
+    # holds wrongly-placed voxels and re-escalation cannot re-associate.
+    # Set deescalate_after>0 only for workloads with known transient
+    # stressors.
+    match_iters_escalated: int = 3
+    escalate_ratio: float = 0.65
+    escalate_after: int = 3
+    deescalate_after: int = 0
     # Sensor-gap recovery: a packet whose clock rebase exceeds this many
     # seconds triggers a soft reset (keep pose/biases, zero velocity,
     # realign clocks, inflate covariance) instead of mean-propagating the
@@ -250,6 +275,10 @@ _TPU_KEY_MAP = {
     "tpu_insert_reuse_probe": "insert_reuse_probe",
     "tpu_match_pose": "match_pose",
     "tpu_match_iters": "match_iters",
+    "tpu_match_iters_escalated": "match_iters_escalated",
+    "tpu_escalate_ratio": "escalate_ratio",
+    "tpu_escalate_after": "escalate_after",
+    "tpu_deescalate_after": "deescalate_after",
     "tpu_symmetrize_cov": "symmetrize_cov",
     "tpu_gap_reset_s": "gap_reset_s",
     "tpu_pipeline_depth": "pipeline_depth",

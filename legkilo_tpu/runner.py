@@ -131,6 +131,34 @@ class OdometryRunner:
         # tests/test_robustness.py, dynamics-envelope study).
         self._n_done = 0
         self._low_match_streak = 0
+        # Auto-escalating iterated matching (deferred pipeline): on
+        # sustained match collapse, switch the step onto a higher
+        # match_iters StaticConfig (a second pre-declared executable —
+        # static_argnums recompiles on first use, cached after) and fall
+        # back once the rate recovers.  This replaces the reference's
+        # per-bucket in-scan feedback (KILO.cc:108-233), which
+        # self-corrects association within a scan and needs no operator.
+        esc_iters = max(0, int(cfg.tpu.match_iters_escalated))
+        self._esc_ratio = float(cfg.tpu.escalate_ratio)
+        self._esc_after = max(0, int(cfg.tpu.escalate_after))
+        # 0 = sticky escalation (never release) — the production default;
+        # see TpuConfig for the measured rationale.
+        self._deesc_after = max(0, int(cfg.tpu.deescalate_after))
+        self._esc_streak = 0
+        self._esc_enabled = (
+            self.scfg.pipeline == "deferred"
+            and self._esc_after > 0
+            and esc_iters > self.scfg.match_iters
+        )
+        self._scfg_esc = self.scfg._replace(match_iters=esc_iters)
+        self._scfg_active = self.scfg
+        self._esc_active = False
+        self._healthy_streak = 0
+        # Latch: a re-escalation shortly after de-escalating means the
+        # regime (not a transient) needs iterated matching — stop
+        # oscillating and stay escalated.
+        self._esc_latched = False
+        self._last_deesc = -(10 ** 9)
 
     # -- streaming input ---------------------------------------------------
     def add_scan(self, scan: RawScan) -> List[ScanResult]:
@@ -323,7 +351,9 @@ class OdometryRunner:
             self.carry = soft_reset_carry(self.carry, pkt.rebase)
         dev = to_device_packet(pkt)
         with Timer.measure("State predict/update & Map update"):
-            self.carry, out = self._step(self.carry, dev, self.params, self.scfg)
+            self.carry, out = self._step(
+                self.carry, dev, self.params, self._scfg_active
+            )
         self._inflight.append((pkt, out))
 
     def _materialize(self, pkt: HostPacket, out) -> ScanResult:
@@ -351,8 +381,11 @@ class OdometryRunner:
         # its per-scan "useful pcl percent" (ros_interface.cc:391-394)
         # but never alarms on it.
         self._n_done += 1
-        if self._n_done > 10 and int(out.n_points) > 100:
-            if int(out.n_matched) < 0.2 * int(out.n_points):
+        if int(out.n_points) > 100:
+            ratio = int(out.n_matched) / int(out.n_points)
+            # Hard-collapse operator alarm (20%): the signature of a fully
+            # diverged run.  Warm-up excluded (map still bootstrapping).
+            if self._n_done > 10 and ratio < 0.2:
                 self._low_match_streak += 1
                 if self._low_match_streak == 5:
                     log.warning(
@@ -361,8 +394,52 @@ class OdometryRunner:
                         "timing; under aggressive dynamics consider "
                         "tpu_pipeline: sequential or tpu_match_iters >= 2."
                     )
-            else:
+            elif self._n_done > 10:
                 self._low_match_streak = 0
+            # Auto-escalation (soft degradation, see TpuConfig): a rate
+            # below escalate_ratio sustained escalate_after scans trips the
+            # iterated-matching variant; a rate above ratio+0.1 sustained
+            # deescalate_after scans releases it.  The warm-up here is
+            # deliberately SHORT (3 scans): envelope-edge drift accrues from
+            # the first scans and cannot be undone later — an early false
+            # positive merely costs latency until de-escalation.
+            if self._esc_enabled and self._n_done > 3:
+                if not self._esc_active and ratio < self._esc_ratio:
+                    self._esc_streak += 1
+                    self._healthy_streak = 0
+                    if self._esc_streak >= self._esc_after:
+                        self._esc_active = True
+                        self._scfg_active = self._scfg_esc
+                        self._esc_streak = 0
+                        if self._n_done - self._last_deesc <= 3 * self._deesc_after:
+                            self._esc_latched = True
+                        log.warning(
+                            "match rate below %.0f%% for %d consecutive "
+                            "scans: auto-escalating to tpu_match_iters=%d "
+                            "(iterated matching)%s",
+                            100 * self._esc_ratio, self._esc_after,
+                            self._scfg_esc.match_iters,
+                            " [latched: regime needs it]" if self._esc_latched
+                            else " until the rate recovers",
+                        )
+                elif self._esc_active and ratio >= self._esc_ratio + 0.1:
+                    self._healthy_streak += 1
+                    if (
+                        self._deesc_after > 0
+                        and self._healthy_streak >= self._deesc_after
+                        and not self._esc_latched
+                    ):
+                        self._esc_active = False
+                        self._scfg_active = self.scfg
+                        self._healthy_streak = 0
+                        self._last_deesc = self._n_done
+                        log.info(
+                            "match rate recovered: de-escalating to "
+                            "tpu_match_iters=%d", self.scfg.match_iters,
+                        )
+                else:
+                    self._esc_streak = 0
+                    self._healthy_streak = 0
         cloud = intensity = None
         if out.cloud_world is not None:
             # Compact to valid rows; intensity rides along in the same order
