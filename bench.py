@@ -92,6 +92,10 @@ def main() -> None:
     # (this jax drops layout pins at compile time anyway — PERF_NOTES
     # "Layout pinning").
     use_pallas_refit = os.environ.get("LEGKILO_BENCH_PALLAS_REFIT", "1") == "1"
+    # Round-5: fold the insert phase's per-row moment math into one Pallas
+    # launch (ops/pallas/insert_rows.py) — the round-4 census named insert
+    # kernel consolidation as the remaining lever.
+    use_pallas_insert = os.environ.get("LEGKILO_BENCH_PALLAS_INSERT", "1") == "1"
     cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
     # Ancestor-gated insertion: child levels only accumulate under non-plane
     # parents (the reference's UpdateOctoTree descent).  In planar steady
@@ -114,6 +118,7 @@ def main() -> None:
         pipeline=pipeline,
         use_pallas=(pipeline == "deferred" and use_pallas),
         use_pallas_match=(pipeline == "deferred" and use_pallas_match),
+        use_pallas_insert=(pipeline == "deferred" and use_pallas_insert),
         # ~3.2k valid points per scan at this load; 3584 covers all of them
         # while halving the match/insert-phase row count vs the padded
         # 56*128 (ATE with these exact knobs verified at 0.006 m on CPU).

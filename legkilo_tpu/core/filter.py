@@ -113,6 +113,11 @@ class StaticConfig(NamedTuple):
     # Fused pipeline: run the match phase's per-point math in two Pallas
     # kernels (ops/pallas/match_geom.py); requires match_cap % 128 == 0.
     use_pallas_match: bool = False
+    # Fused pipeline: fold the insert phase's per-row pose recompute,
+    # covariance propagation, and packed-moment construction into one
+    # Pallas launch (ops/pallas/insert_rows.py).  Requires
+    # insert_reuse_probe and map_cfg.insert_row_cap % 128 == 0.
+    use_pallas_insert: bool = False
     # Re-symmetrize the covariance once per scan: the ~50 Joseph-free
     # downdates per scan (eskf.cc:91-145) accumulate f32 asymmetry over
     # long runs (tools/longrun_stability.py measurements in PERF_NOTES).

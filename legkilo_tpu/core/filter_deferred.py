@@ -267,14 +267,19 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap, poses=None):
     sizes = [
         mcfg.voxel_size / (2.0 ** lvl) for lvl in range(L)
     ] + [0.0] * (4 - L)
-    par1 = jnp.zeros((1, 64), dtype=dtype)
-    par1 = par1.at[0, mg._P_EXT_R : mg._P_EXT_R + 9].set(params.ext_r.reshape(9))
-    par1 = par1.at[0, mg._P_EXT_T : mg._P_EXT_T + 3].set(params.ext_t)
-    par1 = par1.at[0, mg._P_SIZES : mg._P_SIZES + 4].set(jnp.asarray(sizes, dtype))
-    par1 = par1.at[0, mg._P_COV_RR : mg._P_COV_RR + 9].set(cov0[0:3, 0:3].reshape(9))
-    par1 = par1.at[0, mg._P_COV_PP : mg._P_COV_PP + 9].set(cov0[3:6, 3:6].reshape(9))
-    par1 = par1.at[0, mg._P_DEPT].set(scfg.dept_err)
-    par1 = par1.at[0, mg._P_BEAM].set(scfg.beam_err)
+    # One concatenate instead of seven .at[].set updates (each set is its
+    # own XLA fusion; the par row layout is positional — match_geom._P_*).
+    par1 = jnp.concatenate(
+        [
+            params.ext_r.reshape(9).astype(dtype),
+            params.ext_t.astype(dtype),
+            jnp.asarray(sizes, dtype),
+            cov0[0:3, 0:3].reshape(9),
+            cov0[3:6, 3:6].reshape(9),
+            jnp.asarray([scfg.dept_err, scfg.beam_err], dtype),
+            jnp.zeros((64 - 36,), dtype),
+        ]
+    )[None, :]
 
     piw_t, covs_t, keys_t, vc_t, idx0_t = mg.keys_call(
         par1, pts_t, rb_t, pb_t, levels=L, capacity=C,
@@ -318,23 +323,21 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap, poses=None):
     )
     mask_t = mask_c.astype(dtype)[None, :]
 
-    par2 = jnp.zeros((1, 8), dtype=dtype)
-    par2 = par2.at[0, mg._Q_SIGMA].set(mcfg.sigma_num)
-    par2 = par2.at[0, mg._Q_RADIUS].set(mcfg.radius_k)
-    par2 = par2.at[0, mg._Q_RATIO].set(params.noise.lidar_point_meas_ratio)
+    par2 = jnp.concatenate(
+        [
+            jnp.asarray([mcfg.sigma_num, mcfg.radius_k], dtype),
+            params.noise.lidar_point_meas_ratio[None].astype(dtype),
+            jnp.zeros((5,), dtype),
+        ]
+    )[None, :]
 
-    out, s40_flat = mg.select_call(
+    out, s40_flat, nm = mg.select_call(
         par2, piw_t, covs_t[0:18], vc_t, plane_t, flags_t, mask_t,
         bidx.astype(dtype)[None, :],
         levels=L, n_buckets=nb, interpret=interpret, block=block,
     )
-    matched_f = out[0]                                     # [cap] f32
     s40 = s40_flat.reshape(nb, 40, 40)
-
-    onehot = (
-        bidx[None, :] == jnp.arange(nb, dtype=bidx.dtype)[:, None]
-    ).astype(dtype)                                        # [nb, cap]
-    nmatch_b = jnp.einsum("bc,c->b", onehot, matched_f).astype(jnp.int32)
+    nmatch_b = nm[:, 0].astype(jnp.int32)                  # [nb]
 
     p_i_c = piw_t[0:3].T                                   # [cap, 3]
     cross_c = skew(p_i_c)
@@ -695,24 +698,69 @@ def _process_scan_fused(
     # Phase 3 on the same compacted rows: recompute world points with
     # post-update per-bucket poses, then one batched insert
     # (KILO.cc:216-231 recompute + UpdateVoxelMap).
-    bidx_c = jnp.minimum(bidx, nb - 1)
-    rb2 = rots[bidx_c]
-    pb2 = poss[bidx_c]
-    p_w_c = jnp.einsum("cij,cj->ci", rb2, p_i_c) + pb2
-    rot_ext2 = jnp.einsum("cij,jk->cik", rb2, params.ext_r)
-    rot_cross2 = jnp.einsum("cij,cjk->cik", rb2, cross_c)
-    var_c = (
-        jnp.einsum("cij,cjk,clk->cil", rot_ext2, body_cov_c, rot_ext2)
-        + jnp.einsum("cij,cjk,clk->cil", rot_cross2, rot_covs[bidx_c], rot_cross2)
-        + pos_covs[bidx_c]
+    mcfg = scfg.map_cfg
+    use_pallas_insert = (
+        scfg.use_pallas_insert
+        and scfg.insert_reuse_probe
+        and mcfg.insert_row_cap > 0
+        and _pick_block(mcfg.insert_row_cap)
     )
-    if scfg.insert_reuse_probe:
-        vm = insert_points_hinted(
-            carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c,
-            own_keys, own_slot, own_found, own_plane,
+    if use_pallas_insert:
+        # One launch for the whole per-row moment pipeline: post-update
+        # pose transform, covariance propagation, packed moment rows
+        # (ops/pallas/insert_rows.py); only gathers/scatters stay in XLA.
+        from ..ops.pallas import insert_rows as ir
+        from .voxel_map import gated_insert_rows, insert_packed_rows_hinted
+
+        dtype = carry.cov.dtype
+        rows = gated_insert_rows(
+            mcfg, mask_c, own_keys, own_slot, own_found, own_plane
+        )
+        bidx_r = jnp.take(jnp.minimum(bidx, nb - 1), rows.pidx)
+        sizes = jnp.asarray(
+            [mcfg.voxel_size / (2.0 ** l) for l in range(mcfg.levels)], dtype
+        )
+        par = jnp.concatenate(
+            [params.ext_r.reshape(9).astype(dtype),
+             jnp.zeros((ir.PAR_W - 9,), dtype)]
+        )[None, :]
+        out69 = ir.moments_call(
+            par,
+            jnp.take(p_i_c.T, rows.pidx, axis=1),
+            jnp.take(body_cov_c.reshape(-1, 9).T, rows.pidx, axis=1),
+            jnp.take(rots.reshape(nb, 9).T, bidx_r, axis=1),
+            jnp.take(poss.T, bidx_r, axis=1),
+            jnp.take(rot_covs.reshape(nb, 9).T, bidx_r, axis=1),
+            jnp.take(pos_covs.reshape(nb, 9).T, bidx_r, axis=1),
+            rows.keys.T.astype(dtype),
+            sizes[rows.lvl][None, :],
+            interpret=jax.default_backend() == "cpu",
+            block=_pick_block(mcfg.insert_row_cap),
+        )
+        vm = insert_packed_rows_hinted(
+            carry.vm, mcfg, rows, out69[0:9].T, out69[9:69].T
         )
     else:
-        vm = insert_points(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c)
+        bidx_c = jnp.minimum(bidx, nb - 1)
+        rb2 = rots[bidx_c]
+        pb2 = poss[bidx_c]
+        p_w_c = jnp.einsum("cij,cj->ci", rb2, p_i_c) + pb2
+        rot_ext2 = jnp.einsum("cij,jk->cik", rb2, params.ext_r)
+        rot_cross2 = jnp.einsum("cij,cjk->cik", rb2, cross_c)
+        var_c = (
+            jnp.einsum("cij,cjk,clk->cil", rot_ext2, body_cov_c, rot_ext2)
+            + jnp.einsum(
+                "cij,cjk,clk->cil", rot_cross2, rot_covs[bidx_c], rot_cross2
+            )
+            + pos_covs[bidx_c]
+        )
+        if scfg.insert_reuse_probe:
+            vm = insert_points_hinted(
+                carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c,
+                own_keys, own_slot, own_found, own_plane,
+            )
+        else:
+            vm = insert_points(carry.vm, scfg.map_cfg, p_w_c, var_c, mask_c)
     carry = carry._replace(vm=vm)
 
     if scfg.map_sliding_en:

@@ -521,6 +521,120 @@ def insert_points(
     )
 
 
+class GatedRows(NamedTuple):
+    """Ancestor-gated, compacted (point, level) insert rows.
+
+    Produced by gated_insert_rows from the match phase's own-chain probe;
+    consumed by resolve_insert_rows (slot claim) and _insert_finish.
+    ``order`` indexes the flattened [L*N] (level-major) candidate layout;
+    padded rows carry order == L*N, mask False."""
+
+    order: jnp.ndarray   # [R] source row in the [L*N] layout (L*N = padded)
+    pidx: jnp.ndarray    # [R] owning point index (clamped for padding)
+    keys: jnp.ndarray    # [R, 3] voxel keys
+    lvl: jnp.ndarray     # [R] level ids
+    mask: jnp.ndarray    # [R] row validity
+    found: jnp.ndarray   # [R] match-probe hit (slot already known)
+    slot0: jnp.ndarray   # [R] global flat slot for found rows (miss else)
+    need: jnp.ndarray    # [R] valid rows that need a claim (new voxels)
+    n_gated: jnp.ndarray  # [] int32: gate survivors before compaction
+
+
+def gated_insert_rows(
+    cfg: MapConfig,
+    mask: jnp.ndarray,       # [N]
+    own_keys: jnp.ndarray,   # [L, N, 3]
+    own_slot: jnp.ndarray,   # [L, N]
+    own_found: jnp.ndarray,  # [L, N]
+    own_plane: jnp.ndarray,  # [L, N]
+) -> GatedRows:
+    """Ancestor gate + row compaction (the reference's UpdateOctoTree
+    descent stopping at the first plane node, voxel_map.cc:185-241);
+    see insert_points_hinted for the full semantics discussion."""
+    L, N = own_found.shape
+    miss = L * cfg.capacity
+    keys = own_keys.reshape(L * N, 3)
+    lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
+    mask_f = jnp.tile(mask, L)
+    found_f = own_found.reshape(L * N) & mask_f
+
+    elig = jnp.ones((N,), dtype=bool)
+    gates = []
+    for lvl in range(L):
+        gates.append(elig)
+        elig = elig & own_found[lvl] & ~own_plane[lvl]
+    gate_f = jnp.concatenate(gates) & mask_f                # [L*N]
+    R = cfg.insert_row_cap
+    order = compact_order(gate_f, R)                        # [R]
+    pidx = jnp.minimum(order % N, N - 1)                    # point per row
+    keys_r = keys.at[order].get(mode="fill", fill_value=0)
+    lvl_r = lvl_ids.at[order].get(mode="fill", fill_value=0)
+    mask_r = gate_f.at[order].get(mode="fill", fill_value=False)
+    found_r = found_f.at[order].get(mode="fill", fill_value=False)
+    slot_r = own_slot.reshape(L * N).at[order].get(
+        mode="fill", fill_value=miss
+    )
+    slot0 = jnp.where(found_r & mask_r, slot_r, miss)
+    need = mask_r & ~found_r
+    return GatedRows(
+        order=order, pidx=pidx, keys=keys_r, lvl=lvl_r, mask=mask_r,
+        found=found_r, slot0=slot0, need=need,
+        n_gated=jnp.sum(gate_f.astype(jnp.int32)),
+    )
+
+
+def resolve_insert_rows(
+    ptab_flat: jnp.ndarray, cfg: MapConfig, rows: GatedRows
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Slot resolution for gated rows: probe-hit rows keep their match-phase
+    slot; new keys claim via the compacted fast path (insert_new_cap rows)
+    with a full-width fallback under lax.cond.  Returns (ptab, slot, ok)."""
+    miss = cfg.levels * cfg.capacity
+    cap = cfg.insert_new_cap
+
+    def fast(pt):
+        o2 = compact_order(rows.need, cap)
+        k_c = rows.keys.at[o2].get(mode="fill", fill_value=0)
+        lvl_c = rows.lvl.at[o2].get(mode="fill", fill_value=0)
+        act_c = rows.need.at[o2].get(mode="fill", fill_value=False)
+        pt, slot_c, ok_c = _find_or_insert_flat(pt, k_c, lvl_c, act_c, cfg)
+        slot = rows.slot0.at[o2].set(jnp.where(ok_c, slot_c, miss), mode="drop")
+        return pt, slot, slot < miss
+
+    def slow(pt):
+        pt, slot_c, ok_c = _find_or_insert_flat(
+            pt, rows.keys, rows.lvl, rows.need, cfg
+        )
+        slot = jnp.where(ok_c, slot_c, rows.slot0)
+        return pt, slot, slot < miss
+
+    n_new = jnp.sum(rows.need.astype(jnp.int32))
+    return jax.lax.cond(n_new <= cap, fast, slow, ptab_flat)
+
+
+def insert_packed_rows_hinted(
+    vm: VoxelMap,
+    cfg: MapConfig,
+    rows: GatedRows,
+    mom_rows: jnp.ndarray,   # [R, MOM12_DIM] precomputed packed m1/m2
+    moms_rows: jnp.ndarray,  # [R, MOMS_DIM] precomputed packed s0/s1/s2
+) -> VoxelMap:
+    """insert_points_hinted's gated path with the per-row moment math
+    precomputed (one Pallas launch, ops/pallas/insert_rows.py) instead of
+    rebuilt from (p_w, var) in XLA.  Identical semantics; equivalence:
+    tests/test_insert_rows_pallas.py."""
+    ptab_flat = vm.ptab.reshape(cfg.levels * cfg.capacity, PTAB_DIM)
+    ptab_flat, slot, ok = resolve_insert_rows(ptab_flat, cfg, rows)
+    return _insert_finish(
+        vm, cfg, ptab_flat, None, None, rows.keys, rows.lvl, slot, ok,
+        ocnt_inc=_ocnt_inc(
+            rowcap=jnp.maximum(0, rows.n_gated - cfg.insert_row_cap),
+            claim=jnp.sum((rows.mask & ~ok).astype(jnp.int32)),
+        ),
+        packed_rows=(mom_rows, moms_rows),
+    )
+
+
 def insert_points_hinted(
     vm: VoxelMap,
     cfg: MapConfig,
@@ -574,50 +688,17 @@ def insert_points_hinted(
     found_f = own_found.reshape(L * N) & mask_f
 
     if cfg.insert_row_cap and own_plane is not None:
-        # Ancestor gate, then compact surviving (point, level) rows.
-        elig = jnp.ones((N,), dtype=bool)
-        gates = []
-        for lvl in range(L):
-            gates.append(elig)
-            elig = elig & own_found[lvl] & ~own_plane[lvl]
-        gate_f = jnp.concatenate(gates) & mask_f            # [L*N]
-        R = cfg.insert_row_cap
-        order = compact_order(gate_f, R)                    # [R]
-        pidx = jnp.minimum(order % N, N - 1)                # point per row
-        keys_r = keys.at[order].get(mode="fill", fill_value=0)
-        lvl_r = lvl_ids.at[order].get(mode="fill", fill_value=0)
-        mask_r = gate_f.at[order].get(mode="fill", fill_value=False)
-        found_r = found_f.at[order].get(mode="fill", fill_value=False)
-        slot_r = own_slot.reshape(L * N).at[order].get(
-            mode="fill", fill_value=miss
+        rows = gated_insert_rows(
+            cfg, mask, own_keys, own_slot, own_found, own_plane
         )
-        slot0 = jnp.where(found_r & mask_r, slot_r, miss)
-        need = mask_r & ~found_r
-        p_w_r = p_w[pidx]
-        var_r = var[pidx]
-
-        def fast(pt):
-            o2 = compact_order(need, cap)
-            k_c = keys_r.at[o2].get(mode="fill", fill_value=0)
-            lvl_c = lvl_r.at[o2].get(mode="fill", fill_value=0)
-            act_c = need.at[o2].get(mode="fill", fill_value=False)
-            pt, slot_c, ok_c = _find_or_insert_flat(pt, k_c, lvl_c, act_c, cfg)
-            slot = slot0.at[o2].set(jnp.where(ok_c, slot_c, miss), mode="drop")
-            return pt, slot, slot < miss
-
-        def slow(pt):
-            pt, slot_c, ok_c = _find_or_insert_flat(pt, keys_r, lvl_r, need, cfg)
-            slot = jnp.where(ok_c, slot_c, slot0)
-            return pt, slot, slot < miss
-
-        n_new = jnp.sum(need.astype(jnp.int32))
-        ptab_flat, slot, ok = jax.lax.cond(n_new <= cap, fast, slow, ptab_flat)
-        n_gated = jnp.sum(gate_f.astype(jnp.int32))
+        ptab_flat, slot, ok = resolve_insert_rows(ptab_flat, cfg, rows)
+        p_w_r = p_w[rows.pidx]
+        var_r = var[rows.pidx]
         return _insert_finish(
-            vm, cfg, ptab_flat, p_w_r, var_r, keys_r, lvl_r, slot, ok,
+            vm, cfg, ptab_flat, p_w_r, var_r, rows.keys, rows.lvl, slot, ok,
             ocnt_inc=_ocnt_inc(
-                rowcap=jnp.maximum(0, n_gated - R),
-                claim=jnp.sum((mask_r & ~ok).astype(jnp.int32)),
+                rowcap=jnp.maximum(0, rows.n_gated - cfg.insert_row_cap),
+                claim=jnp.sum((rows.mask & ~ok).astype(jnp.int32)),
             ),
         )
 
@@ -659,10 +740,14 @@ def _insert_finish(
     slot: jnp.ndarray,     # [R] resolved global slots (miss = dropped)
     ok: jnp.ndarray,       # [R]
     ocnt_inc: jnp.ndarray = None,  # [3] int32 caller-side overflow counts
+    packed_rows: Tuple[jnp.ndarray, jnp.ndarray] = None,
 ) -> VoxelMap:
     """Moment accumulation, threshold logic, and budgeted refit —
     everything in insert_points after slot resolution.  Rows are
     (point, level) pairs; callers may pre-compact them (insert_row_cap).
+    With ``packed_rows`` = (mom_rows [R, MOM12_DIM], moms_rows
+    [R, MOMS_DIM]) the per-row moment math is skipped (precomputed by the
+    Pallas insert kernel) and p_w_rows/var_rows may be None.
 
     Compute runs in the meta/compute dtype; the mom/plane tables may be
     narrower (MapConfig.storage_dtype) — accumulation happens at storage
@@ -671,11 +756,6 @@ def _insert_finish(
     L, C = cfg.levels, cfg.capacity
     R = keys.shape[0]
     miss = L * C
-
-    sizes = jnp.asarray(
-        [level_size(cfg, l) for l in range(cfg.levels)], dtype=dtype
-    )[lvl_ids]
-    vc = (keys.astype(dtype) + 0.5) * sizes[:, None]       # [R, 3]
 
     meta_flat = vm.meta.reshape(miss, META_DIM)
     mom_flat = vm.mom.reshape(miss, MOM12_DIM)
@@ -687,8 +767,15 @@ def _insert_finish(
     contrib = ok & (meta_at[:, _M_N] < float(cfg.max_points_num))
     tgt = jnp.where(contrib, slot, miss)
 
-    p_rel = p_w_rows - vc
-    mom_rows, moms_rows = _pack_moments(point_moments(p_rel, var_rows))
+    if packed_rows is not None:
+        mom_rows, moms_rows = packed_rows
+    else:
+        sizes = jnp.asarray(
+            [level_size(cfg, l) for l in range(cfg.levels)], dtype=dtype
+        )[lvl_ids]
+        vc = (keys.astype(dtype) + 0.5) * sizes[:, None]   # [R, 3]
+        p_rel = p_w_rows - vc
+        mom_rows, moms_rows = _pack_moments(point_moments(p_rel, var_rows))
 
     counts = jnp.zeros((R, META_DIM), dtype=dtype)
     counts = counts.at[:, _M_N].set(1.0).at[:, _M_NEW].set(1.0)

@@ -266,6 +266,10 @@ def _select_kernel(
     s40_ref,      # out [n_buckets*40, 40]: per-bucket sum w X X^T, grid-
                   # accumulated (ONE MXU contraction per block replaces the
                   # XLA-side [nb, 40, cap] one-hot expansion + einsum)
+    nm_ref,       # out [n_buckets, 128]: per-bucket match counts (every
+                  # column equals the count; an MXU ones-contraction avoids
+                  # both in-kernel cross-lane reductions and the XLA-side
+                  # one-hot count einsum)
     *,
     levels: int,
     n_buckets: int,
@@ -404,21 +408,31 @@ def _select_kernel(
     xw_rows = x_rows * w                                   # w=0 on padding
     bidx = bidx_ref[:]
     lhs_parts = []
+    cnt_parts = []
     for b in range(n_buckets):
         maskb = jnp.where(bidx == jnp.float32(b), 1.0, 0.0).astype(f32)
         lhs_parts.append(xw_rows * maskb)
+        cnt_parts.append(matched * maskb)
     lhs = jnp.concatenate(lhs_parts, axis=0)               # [nb*40, bs]
     part = jax.lax.dot_general(
         lhs, x_rows,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )                                                      # [nb*40, 40]
+    cnt_lhs = jnp.concatenate(cnt_parts, axis=0)           # [nb, bs]
+    nm_part = jax.lax.dot_general(
+        cnt_lhs, jnp.ones((cnt_lhs.shape[1], 128), dtype=f32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                      # [nb, 128]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         s40_ref[...] = jnp.zeros_like(s40_ref)
+        nm_ref[...] = jnp.zeros_like(nm_ref)
 
     s40_ref[...] += part
+    nm_ref[...] += nm_part
 
 
 def _nwn(n3, wc):
@@ -488,6 +502,7 @@ def select_call(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t, bidx_t,
         out_shape=(
             jax.ShapeDtypeStruct((46, c), f32),
             jax.ShapeDtypeStruct((n_buckets * 40, 40), f32),
+            jax.ShapeDtypeStruct((n_buckets, 128), f32),
         ),
         grid=grid,
         in_specs=[
@@ -498,6 +513,10 @@ def select_call(par, piw_t, bcov_t, vc_t, plane_t, flags_t, mask_t, bidx_t,
             col(46),
             pl.BlockSpec(
                 (n_buckets * 40, 40), lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_buckets, 128), lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),

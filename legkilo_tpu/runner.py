@@ -77,6 +77,7 @@ def make_static_config(
         pipeline=cfg.tpu.pipeline,
         use_pallas=bool(cfg.tpu.use_pallas),
         use_pallas_match=bool(cfg.tpu.use_pallas_match),
+        use_pallas_insert=bool(cfg.tpu.use_pallas_insert),
         insert_cap=max(0, int(cfg.tpu.insert_cap)),
         match_cap=max(0, int(cfg.tpu.match_cap)),
         chain_impl=cfg.tpu.chain_impl,
