@@ -1,12 +1,18 @@
 """Count compiled-HLO kernels of the deferred-pipeline phases on TPU.
 
-On this rig every sequential kernel launch costs ~50 us (docs/PERF_NOTES.md),
-so entry-computation instruction counts of the *optimized* HLO are a direct
-latency model: ms ~ 0.05 * kernels + flops/bandwidth terms.  This tool
-compiles (AOT, no execution) the full scan step plus each phase standalone
-and prints instruction histograms of the entry computation.
+On launch-taxed rigs every kernel in the entry computation carries a fixed
+cost (docs/PERF_NOTES.md: ~12 us in-program on the round-4 rig), so entry
+instruction counts of the *optimized* HLO are a direct latency model.
+This tool compiles (AOT, no execution) the full scan step plus each phase
+standalone and prints instruction histograms of the entry computation.
 
-Usage: python tools/hlo_kernels.py [--phase all|full|match|chain|insert]
+The configuration mirrors bench.py's deferred config exactly (2^14 maps,
+4 ms buckets, caps 3584, insert_row_cap 4096, refit_budget 1024) and obeys
+the same LEGKILO_BENCH_PALLAS* env toggles, so before/after censuses line
+up with bench numbers.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/hlo_kernels.py \
+           [--phase all|full|match|insert] [--platform tpu|cpu]
 """
 
 from __future__ import annotations
@@ -49,10 +55,13 @@ def entry_histogram(compiled_text: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="all")
+    ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
@@ -64,27 +73,38 @@ def main() -> None:
     from legkilo_tpu.io.dataset import PacketBuilder, to_device_packet
     from legkilo_tpu.models import sim
 
+    # == bench.py deferred configuration (keep in sync) ==
     cfg = Config()
     cfg.only_imu_use = True
     cfg.lidar.filter_num = 1
     cfg.lidar.blind = 0.3
     cfg.lidar.voxel_grid_resolution = 0.3
-    cfg.voxel_map.capacity_log2 = 16
-    cfg.voxel_map.insert_rounds = 1
+    cfg.voxel_map.capacity_log2 = 14
     cfg.tpu.bucket_quantum_ms = 4.0
     cfg.tpu.max_buckets = 28
     cfg.tpu.max_points_per_bucket = 256
     cfg.tpu.max_imu_per_bucket = 1
+    cfg.voxel_map.insert_rounds = 1
+    cfg.voxel_map.insert_row_cap = 4096
+    cfg.voxel_map.refit_budget = 1024
+    cfg.voxel_map.probe_length = 4
+
+    use_pallas = os.environ.get("LEGKILO_BENCH_PALLAS", "1") == "1"
+    use_pallas_match = os.environ.get("LEGKILO_BENCH_PALLAS_MATCH", "1") == "1"
+    use_pallas_refit = os.environ.get("LEGKILO_BENCH_PALLAS_REFIT", "1") == "1"
+    use_pallas_insert = os.environ.get("LEGKILO_BENCH_PALLAS_INSERT", "1") == "1"
 
     scfg = StaticConfig(
-        map_cfg=map_config_from(cfg.voxel_map),
+        map_cfg=map_config_from(cfg.voxel_map, use_pallas_refit=use_pallas_refit),
         use_kin=False,
         dept_err=cfg.voxel_map.dept_err,
         beam_err=cfg.voxel_map.beam_err,
         pipeline="deferred",
         insert_cap=3584,
         match_cap=3584,
-        use_pallas=True,
+        use_pallas=use_pallas,
+        use_pallas_match=use_pallas_match,
+        use_pallas_insert=use_pallas_insert,
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
@@ -105,6 +125,9 @@ def main() -> None:
     pkt = to_device_packet(packets[0])
     carry = init_carry(scfg)
 
+    print(f"platform={jax.default_backend()} pallas(chain/match/refit/insert)="
+          f"{use_pallas}/{use_pallas_match}/{use_pallas_refit}/{use_pallas_insert}")
+
     def report(name, fn, *a, **kw):
         lowered = jax.jit(fn, **kw).lower(*a)
         comp = lowered.compile()
@@ -116,31 +139,41 @@ def main() -> None:
     nb_, p_, _ = pkt.points.shape
     cap = max(scfg.match_cap, scfg.insert_cap) or nb_ * p_
 
+    match_fn = (
+        fd._match_compact_stats_pallas if use_pallas_match
+        else fd._match_compact_stats
+    )
+
     if args.phase in ("all", "full"):
         report("full step", fd.process_scan_deferred, carry, pkt, params, scfg,
                static_argnums=3)
     if args.phase in ("all", "match"):
         report(
             "match+stats",
-            lambda c, p: fd._match_compact_stats(c, p, params, scfg, cap),
+            lambda c, p: match_fn(c, p, params, scfg, cap),
             carry, pkt,
         )
     if args.phase in ("all", "insert"):
-        import jax.numpy as jnp2
-        from legkilo_tpu.core.voxel_map import insert_points_hinted
+        from legkilo_tpu.core.voxel_map import (
+            gated_insert_rows, insert_packed_rows_hinted, insert_points_hinted,
+        )
+        from legkilo_tpu.ops.pallas import insert_rows as ir
 
         s40, nmatch_b, aux = jax.jit(
-            lambda c, p: fd._match_compact_stats(c, p, params, scfg, cap)
+            lambda c, p: match_fn(c, p, params, scfg, cap)
         )(carry, pkt)
         (order, bidx, pts_c, p_i_c, cross_c, body_cov_c, mask_c,
-         own_keys, own_slot, own_found) = aux
+         own_keys, own_slot, own_found, own_plane) = aux
         rots = jnp.broadcast_to(jnp.eye(3), (nb_, 3, 3))
         poss = jnp.zeros((nb_, 3))
         rcov = jnp.broadcast_to(jnp.eye(3) * 1e-6, (nb_, 3, 3))
         pcov = rcov
+        mcfg = scfg.map_cfg
+        dtype = jnp.float32
 
-        def insert_phase(vm, bidx, p_i_c, cross_c, body_cov_c, mask_c,
-                         rots, poss, rcov, pcov, own_keys, own_slot, own_found):
+        def insert_phase_xla(vm, bidx, p_i_c, cross_c, body_cov_c, mask_c,
+                             rots, poss, rcov, pcov,
+                             own_keys, own_slot, own_found, own_plane):
             bidx_c = jnp.minimum(bidx, nb_ - 1)
             rb2 = rots[bidx_c]
             pb2 = poss[bidx_c]
@@ -153,13 +186,49 @@ def main() -> None:
                 + pcov[bidx_c]
             )
             return insert_points_hinted(
-                vm, scfg.map_cfg, p_w_c, var_c, mask_c,
-                own_keys, own_slot, own_found,
+                vm, mcfg, p_w_c, var_c, mask_c,
+                own_keys, own_slot, own_found, own_plane,
             )
 
-        report("insert (hinted)", insert_phase, carry.vm, bidx, p_i_c, cross_c,
-               body_cov_c, mask_c, rots, poss, rcov, pcov,
-               own_keys, own_slot, own_found)
+        def insert_phase_pallas(vm, bidx, p_i_c, body_cov_c, mask_c,
+                                rots, poss, rcov, pcov,
+                                own_keys, own_slot, own_found, own_plane):
+            rows = gated_insert_rows(
+                mcfg, mask_c, own_keys, own_slot, own_found, own_plane
+            )
+            bidx_r = jnp.take(jnp.minimum(bidx, nb_ - 1), rows.pidx)
+            sizes = jnp.asarray(
+                [mcfg.voxel_size / (2.0 ** l) for l in range(mcfg.levels)], dtype
+            )
+            par = jnp.concatenate(
+                [params.ext_r.reshape(9).astype(dtype),
+                 jnp.zeros((ir.PAR_W - 9,), dtype)]
+            )[None, :]
+            out69 = ir.moments_call(
+                par,
+                jnp.take(p_i_c.T, rows.pidx, axis=1),
+                jnp.take(body_cov_c.reshape(-1, 9).T, rows.pidx, axis=1),
+                jnp.take(rots.reshape(nb_, 9).T, bidx_r, axis=1),
+                jnp.take(poss.T, bidx_r, axis=1),
+                jnp.take(rcov.reshape(nb_, 9).T, bidx_r, axis=1),
+                jnp.take(pcov.reshape(nb_, 9).T, bidx_r, axis=1),
+                rows.keys.T.astype(dtype),
+                sizes[rows.lvl][None, :],
+                interpret=jax.default_backend() == "cpu",
+                block=512,
+            )
+            return insert_packed_rows_hinted(
+                vm, mcfg, rows, out69[0:9].T, out69[9:69].T
+            )
+
+        if use_pallas_insert and mcfg.insert_row_cap:
+            report("insert (pallas rows)", insert_phase_pallas, carry.vm, bidx,
+                   p_i_c, body_cov_c, mask_c, rots, poss, rcov, pcov,
+                   own_keys, own_slot, own_found, own_plane)
+        else:
+            report("insert (hinted xla)", insert_phase_xla, carry.vm, bidx,
+                   p_i_c, cross_c, body_cov_c, mask_c, rots, poss, rcov, pcov,
+                   own_keys, own_slot, own_found, own_plane)
 
 
 if __name__ == "__main__":
