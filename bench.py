@@ -96,6 +96,7 @@ def main() -> None:
     # launch (ops/pallas/insert_rows.py) — the round-4 census named insert
     # kernel consolidation as the remaining lever.
     use_pallas_insert = os.environ.get("LEGKILO_BENCH_PALLAS_INSERT", "1") == "1"
+    use_pallas_pose = os.environ.get("LEGKILO_BENCH_PALLAS_POSE", "1") == "1"
     cfg.voxel_map.insert_rounds = 1  # steady-state: new-voxel creation is rare
     # Ancestor-gated insertion: child levels only accumulate under non-plane
     # parents (the reference's UpdateOctoTree descent).  In planar steady
@@ -119,6 +120,7 @@ def main() -> None:
         use_pallas=(pipeline == "deferred" and use_pallas),
         use_pallas_match=(pipeline == "deferred" and use_pallas_match),
         use_pallas_insert=(pipeline == "deferred" and use_pallas_insert),
+        use_pallas_pose=(pipeline == "deferred" and use_pallas_pose),
         # ~3.2k valid points per scan at this load; 3584 covers all of them
         # while halving the match/insert-phase row count vs the padded
         # 56*128 (ATE with these exact knobs verified at 0.006 m on CPU).

@@ -559,6 +559,7 @@ def cmd_sweep(args: argparse.Namespace) -> int:
         cfg.tpu.use_pallas = True
         cfg.tpu.use_pallas_match = True
         cfg.tpu.use_pallas_insert = True
+        cfg.tpu.use_pallas_pose = True
     from .runner import make_static_config
 
     scfg = make_static_config(cfg, use_kin=False)

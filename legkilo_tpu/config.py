@@ -128,6 +128,7 @@ class TpuConfig:
     use_pallas_match: bool = False  # deferred mode: Pallas match kernels
     use_pallas_refit: bool = False  # insert phase: one-launch refit kernel
     use_pallas_insert: bool = False  # insert phase: one-launch moment rows
+    use_pallas_pose: bool = False   # deferred mode: one-launch pose predictor
     # Deferred mode: compact valid rows to this count before the match /
     # insert phases (0 = off).  Exact as long as the cap covers every valid
     # point per scan; see core/filter.py StaticConfig.
@@ -270,6 +271,7 @@ _TPU_KEY_MAP = {
     "tpu_use_pallas_match": "use_pallas_match",
     "tpu_use_pallas_refit": "use_pallas_refit",
     "tpu_use_pallas_insert": "use_pallas_insert",
+    "tpu_use_pallas_pose": "use_pallas_pose",
     "tpu_insert_cap": "insert_cap",
     "tpu_match_cap": "match_cap",
     "tpu_chain_impl": "chain_impl",

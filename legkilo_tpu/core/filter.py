@@ -118,6 +118,9 @@ class StaticConfig(NamedTuple):
     # Pallas launch (ops/pallas/insert_rows.py).  Requires
     # insert_reuse_probe and map_cfg.insert_row_cap % 128 == 0.
     use_pallas_insert: bool = False
+    # Deferred mode: run the IMU match-pose propagation in one Pallas
+    # launch (ops/pallas/pose_prop.py) instead of XLA associative scans.
+    use_pallas_pose: bool = False
     # Re-symmetrize the covariance once per scan: the ~50 Joseph-free
     # downdates per scan (eskf.cc:91-145) accumulate f32 asymmetry over
     # long runs (tools/longrun_stability.py measurements in PERF_NOTES).

@@ -153,9 +153,57 @@ def _predicted_bucket_poses_imu(carry, packet, params):
     return r_end[sel], p_end[sel]
 
 
+def _predicted_bucket_poses_imu_pallas(carry, packet, params):
+    """_predicted_bucket_poses_imu in ONE Pallas launch (~40 tiny XLA
+    kernels of log-depth scan steps otherwise; ops/pallas/pose_prop.py).
+    Identical timeline semantics; equivalence:
+    tests/test_pose_prop_pallas.py."""
+    from ..ops.pallas import pose_prop as pp
+
+    st0 = carry.state
+    dtype = carry.cov.dtype
+    nb, kmax = packet.imu_time.shape
+    m = nb * (kmax + 1)
+    mp = ((m + 127) // 128) * 128
+
+    zpad1 = jnp.zeros((nb, 1), dtype)
+    zpad3 = jnp.zeros((nb, 1, 3), dtype)
+    t_all = jnp.concatenate(
+        [packet.imu_time, packet.bucket_time[:, None]], axis=1
+    ).reshape(1, m)
+    gate = jnp.concatenate(
+        [packet.imu_mask.astype(dtype), packet.bucket_mask.astype(dtype)[:, None]],
+        axis=1,
+    ).reshape(1, m)
+    is_ev = jnp.concatenate(
+        [packet.imu_mask.astype(dtype), zpad1], axis=1
+    ).reshape(1, m)
+    gyr = jnp.concatenate([packet.imu_gyr, zpad3], axis=1).reshape(m, 3).T
+    acc = jnp.concatenate([packet.imu_acc, zpad3], axis=1).reshape(m, 3).T
+    rows = jnp.concatenate([t_all, gate, is_ev, gyr, acc], axis=0)  # [9, m]
+    rows = jnp.pad(rows, ((0, 0), (0, mp - m)))
+
+    par = jnp.concatenate(
+        [
+            st0.rot.reshape(9),
+            st0.pos, st0.vel, st0.ba, st0.bw, st0.grav, st0.imu_w, st0.imu_a,
+            carry.last_predict_t.astype(dtype)[None],
+            params.g_over_acc_norm.astype(dtype)[None],
+        ]
+    )[None, :]
+
+    out = pp.pose_call(par, rows, interpret=jax.default_backend() == "cpu")
+    sel = (jnp.arange(nb) + 1) * (kmax + 1) - 1
+    rb = jnp.take(out[0:9], sel, axis=1).T.reshape(nb, 3, 3)
+    pb = jnp.take(out[9:12], sel, axis=1).T
+    return rb, pb
+
+
 def _predicted_bucket_poses(carry, packet, params=None, scfg=None):
     """Per-bucket match-pose prediction, dispatched on scfg.match_pose."""
     if scfg is not None and scfg.match_pose == "imu":
+        if getattr(scfg, "use_pallas_pose", False):
+            return _predicted_bucket_poses_imu_pallas(carry, packet, params)
         return _predicted_bucket_poses_imu(carry, packet, params)
     return _predicted_bucket_poses_const_vel(carry, packet)
 

@@ -553,8 +553,6 @@ def gated_insert_rows(
     see insert_points_hinted for the full semantics discussion."""
     L, N = own_found.shape
     miss = L * cfg.capacity
-    keys = own_keys.reshape(L * N, 3)
-    lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
     mask_f = jnp.tile(mask, L)
     found_f = own_found.reshape(L * N) & mask_f
 
@@ -567,14 +565,26 @@ def gated_insert_rows(
     R = cfg.insert_row_cap
     order = compact_order(gate_f, R)                        # [R]
     pidx = jnp.minimum(order % N, N - 1)                    # point per row
-    keys_r = keys.at[order].get(mode="fill", fill_value=0)
-    lvl_r = lvl_ids.at[order].get(mode="fill", fill_value=0)
-    mask_r = gate_f.at[order].get(mode="fill", fill_value=False)
-    found_r = found_f.at[order].get(mode="fill", fill_value=False)
-    slot_r = own_slot.reshape(L * N).at[order].get(
-        mode="fill", fill_value=miss
+    # One packed [L*N, 7] row gather instead of five scalar-column gathers
+    # (each gather is its own kernel on launch-taxed targets): key(3),
+    # lvl, gate, found, slot.  Fill rows read 0 -> gate/found False, and
+    # slot0 resolves to miss below regardless of the slot column.
+    cols = jnp.concatenate(
+        [
+            own_keys.reshape(L * N, 3),
+            jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)[:, None],
+            gate_f.astype(jnp.int32)[:, None],
+            found_f.astype(jnp.int32)[:, None],
+            own_slot.reshape(L * N, 1),
+        ],
+        axis=1,
     )
-    slot0 = jnp.where(found_r & mask_r, slot_r, miss)
+    rows7 = cols.at[order].get(mode="fill", fill_value=0)   # [R, 7]
+    keys_r = rows7[:, 0:3]
+    lvl_r = rows7[:, 3]
+    mask_r = rows7[:, 4] > 0
+    found_r = rows7[:, 5] > 0
+    slot0 = jnp.where(found_r & mask_r, rows7[:, 6], miss)
     need = mask_r & ~found_r
     return GatedRows(
         order=order, pidx=pidx, keys=keys_r, lvl=lvl_r, mask=mask_r,
@@ -594,10 +604,17 @@ def resolve_insert_rows(
 
     def fast(pt):
         o2 = compact_order(rows.need, cap)
-        k_c = rows.keys.at[o2].get(mode="fill", fill_value=0)
-        lvl_c = rows.lvl.at[o2].get(mode="fill", fill_value=0)
-        act_c = rows.need.at[o2].get(mode="fill", fill_value=False)
-        pt, slot_c, ok_c = _find_or_insert_flat(pt, k_c, lvl_c, act_c, cfg)
+        packed = jnp.concatenate(
+            [
+                rows.keys,
+                rows.lvl[:, None],
+                rows.need.astype(jnp.int32)[:, None],
+            ],
+            axis=1,
+        ).at[o2].get(mode="fill", fill_value=0)             # [cap, 5]
+        pt, slot_c, ok_c = _find_or_insert_flat(
+            pt, packed[:, 0:3], packed[:, 3], packed[:, 4] > 0, cfg
+        )
         slot = rows.slot0.at[o2].set(jnp.where(ok_c, slot_c, miss), mode="drop")
         return pt, slot, slot < miss
 

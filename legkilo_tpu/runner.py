@@ -78,6 +78,7 @@ def make_static_config(
         use_pallas=bool(cfg.tpu.use_pallas),
         use_pallas_match=bool(cfg.tpu.use_pallas_match),
         use_pallas_insert=bool(cfg.tpu.use_pallas_insert),
+        use_pallas_pose=bool(cfg.tpu.use_pallas_pose),
         insert_cap=max(0, int(cfg.tpu.insert_cap)),
         match_cap=max(0, int(cfg.tpu.match_cap)),
         chain_impl=cfg.tpu.chain_impl,

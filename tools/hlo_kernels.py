@@ -93,6 +93,7 @@ def main() -> None:
     use_pallas_match = os.environ.get("LEGKILO_BENCH_PALLAS_MATCH", "1") == "1"
     use_pallas_refit = os.environ.get("LEGKILO_BENCH_PALLAS_REFIT", "1") == "1"
     use_pallas_insert = os.environ.get("LEGKILO_BENCH_PALLAS_INSERT", "1") == "1"
+    use_pallas_pose = os.environ.get("LEGKILO_BENCH_PALLAS_POSE", "1") == "1"
 
     scfg = StaticConfig(
         map_cfg=map_config_from(cfg.voxel_map, use_pallas_refit=use_pallas_refit),
@@ -105,6 +106,7 @@ def main() -> None:
         use_pallas=use_pallas,
         use_pallas_match=use_pallas_match,
         use_pallas_insert=use_pallas_insert,
+        use_pallas_pose=use_pallas_pose,
     )
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
@@ -126,7 +128,8 @@ def main() -> None:
     carry = init_carry(scfg)
 
     print(f"platform={jax.default_backend()} pallas(chain/match/refit/insert)="
-          f"{use_pallas}/{use_pallas_match}/{use_pallas_refit}/{use_pallas_insert}")
+          f"{use_pallas}/{use_pallas_match}/{use_pallas_refit}/{use_pallas_insert}"
+          f"/pose={use_pallas_pose}")
 
     def report(name, fn, *a, **kw):
         lowered = jax.jit(fn, **kw).lower(*a)
