@@ -772,14 +772,24 @@ def _process_scan_fused(
             [params.ext_r.reshape(9).astype(dtype),
              jnp.zeros((ir.PAR_W - 9,), dtype)]
         )[None, :]
+        # ONE row gather of the packed per-bucket chain outputs (rot, pos,
+        # rot_cov, pos_cov — 30 floats) instead of four separate
+        # transposed takes; same for the per-point inputs (p_i + body
+        # cov) from the match phase.
+        bucket_rows = jnp.concatenate(
+            [rots.reshape(nb, 9), poss, rot_covs.reshape(nb, 9),
+             pos_covs.reshape(nb, 9)],
+            axis=1,
+        )                                                  # [nb, 30]
+        brow_t = jnp.take(bucket_rows, bidx_r, axis=0).T   # [30, R]
+        prow_t = jnp.take(
+            jnp.concatenate(
+                [p_i_c, body_cov_c.reshape(-1, 9)], axis=1
+            ),
+            rows.pidx, axis=0,
+        ).T                                                # [12, R]
         out69 = ir.moments_call(
-            par,
-            jnp.take(p_i_c.T, rows.pidx, axis=1),
-            jnp.take(body_cov_c.reshape(-1, 9).T, rows.pidx, axis=1),
-            jnp.take(rots.reshape(nb, 9).T, bidx_r, axis=1),
-            jnp.take(poss.T, bidx_r, axis=1),
-            jnp.take(rot_covs.reshape(nb, 9).T, bidx_r, axis=1),
-            jnp.take(pos_covs.reshape(nb, 9).T, bidx_r, axis=1),
+            par, prow_t, brow_t,
             rows.keys.T.astype(dtype),
             sizes[rows.lvl][None, :],
             interpret=jax.default_backend() == "cpu",

@@ -514,11 +514,17 @@ def run_chain_stats(
     filter_deferred._chain_fused_core."""
     f32 = jnp.float32
     nb, kmax = packet.imu_time.shape
-    params_vec = jnp.zeros((1, 40), dtype=f32)
-    params_vec = params_vec.at[0, 0:30].set(params.noise.q_diag)
-    params_vec = params_vec.at[0, 30:36].set(params.noise.imu_meas_r)
-    params_vec = params_vec.at[0, 36].set(params.g_over_acc_norm)
-    params_vec = params_vec.at[0, 37].set(params.noise.kin_meas_noise)
+    # One concatenate instead of four .at[].set updates (each its own XLA
+    # fusion); layout is positional — see _chain_kernel's param reads.
+    params_vec = jnp.concatenate(
+        [
+            params.noise.q_diag.astype(f32),
+            params.noise.imu_meas_r.astype(f32),
+            params.g_over_acc_norm.astype(f32)[None],
+            params.noise.kin_meas_noise.astype(f32)[None],
+            jnp.zeros((2,), f32),
+        ]
+    )[None, :]
     clocks = jnp.stack([carry.last_predict_t, carry.last_update_t]).reshape(1, 2)
     brow = jnp.stack(
         [

@@ -45,12 +45,10 @@ _SYM6_PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
 
 def _moments_kernel(
     par_ref,    # [1, PAR_W] f32
-    pi_ref,     # [3, bs] imu-frame points
-    bc_ref,     # [9, bs] lidar-frame sensor covariance, row-major
-    rb_ref,     # [9, bs] per-row post-update bucket rotation, row-major
-    pb_ref,     # [3, bs] per-row post-update bucket translation
-    rc_ref,     # [9, bs] per-row rotation-block covariance cov[0:3,0:3]
-    pc_ref,     # [9, bs] per-row position-block covariance cov[3:6,3:6]
+    prow_ref,   # [12, bs] per-point rows: p_i(3), lidar-frame sensor cov(9)
+    brow_ref,   # [30, bs] per-row bucket rows: rot(9), pos(3),
+                # rot-block cov(9), pos-block cov(9) — the chain's packed
+                # per-bucket output layout, gathered once per row
     key_ref,    # [3, bs] voxel key as f32 (exact for |k| < 2^24)
     size_ref,   # [1, bs] voxel edge length at the row's level
     out_ref,    # out [69, bs]: m1(3) m2(6) s0(6) s1(18) s2(36)
@@ -58,9 +56,9 @@ def _moments_kernel(
     def s(i):
         return par_ref[0, i]
 
-    pi = [pi_ref[i : i + 1, :] for i in range(3)]
-    r = [rb_ref[i : i + 1, :] for i in range(9)]
-    tb = [pb_ref[i : i + 1, :] for i in range(3)]
+    pi = [prow_ref[i : i + 1, :] for i in range(3)]
+    r = [brow_ref[i : i + 1, :] for i in range(9)]
+    tb = [brow_ref[9 + i : 10 + i, :] for i in range(3)]
 
     # p_w = rb @ p_i + pb
     pw = [
@@ -119,11 +117,13 @@ def _moments_kernel(
                 )
         return out
 
-    bc = [[bc_ref[3 * i + j : 3 * i + j + 1, :] for j in range(3)] for i in range(3)]
-    crr = [[rc_ref[3 * i + j : 3 * i + j + 1, :] for j in range(3)] for i in range(3)]
+    bc = [[prow_ref[3 + 3 * i + j : 4 + 3 * i + j, :] for j in range(3)]
+          for i in range(3)]
+    crr = [[brow_ref[12 + 3 * i + j : 13 + 3 * i + j, :] for j in range(3)]
+           for i in range(3)]
     w1 = sandwich_rows(re, bc)
     w2 = sandwich_rows(rcm, crr)
-    var = [w1[k] + w2[k] + pc_ref[k : k + 1, :] for k in range(9)]
+    var = [w1[k] + w2[k] + brow_ref[21 + k : 22 + k, :] for k in range(9)]
 
     # p~ = p_w - voxel center; voxel center = (key + 0.5) * size
     size = size_ref[0:1, :]
@@ -146,12 +146,12 @@ def _moments_kernel(
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
 def moments_call(
-    par, pi_t, bc_t, rb_t, pb_t, rc_t, pc_t, key_t, size_t,
+    par, prow_t, brow_t, key_t, size_t,
     interpret=False, block=512,
 ):
     """One-launch packed moment rows: returns [69, R] (m1 m2 | s0 s1 s2)."""
-    r = pi_t.shape[1]
-    f32 = pi_t.dtype
+    r = prow_t.shape[1]
+    f32 = prow_t.dtype
     grid = (r // block,)
 
     def full_row(w):
@@ -165,9 +165,8 @@ def moments_call(
         out_shape=jax.ShapeDtypeStruct((69, r), f32),
         grid=grid,
         in_specs=[
-            full_row(PAR_W), col(3), col(9), col(9), col(3), col(9), col(9),
-            col(3), col(1),
+            full_row(PAR_W), col(12), col(30), col(3), col(1),
         ],
         out_specs=col(69),
         interpret=interpret,
-    )(par, pi_t, bc_t, rb_t, pb_t, rc_t, pc_t, key_t, size_t)
+    )(par, prow_t, brow_t, key_t, size_t)

@@ -136,10 +136,12 @@ def test_moment_rows_match_pack_moments():
 
     par = np.zeros((1, ir.PAR_W), np.float32)
     par[0, 0:9] = ext_r.reshape(9)
+    prow = np.concatenate([p_i, bc.reshape(r, 9)], axis=1).T
+    brow = np.concatenate(
+        [rb.reshape(r, 9), pb, rc.reshape(r, 9), pc.reshape(r, 9)], axis=1
+    ).T
     out = ir.moments_call(
-        jnp.asarray(par), jnp.asarray(p_i.T), jnp.asarray(bc.reshape(r, 9).T),
-        jnp.asarray(rb.reshape(r, 9).T), jnp.asarray(pb.T),
-        jnp.asarray(rc.reshape(r, 9).T), jnp.asarray(pc.reshape(r, 9).T),
+        jnp.asarray(par), jnp.asarray(prow), jnp.asarray(brow),
         jnp.asarray(keys.T), jnp.asarray(size),
         interpret=True, block=128,
     )

@@ -207,14 +207,19 @@ def main() -> None:
                 [params.ext_r.reshape(9).astype(dtype),
                  jnp.zeros((ir.PAR_W - 9,), dtype)]
             )[None, :]
+            bucket_rows = jnp.concatenate(
+                [rots.reshape(nb_, 9), poss, rcov.reshape(nb_, 9),
+                 pcov.reshape(nb_, 9)], axis=1,
+            )
+            brow_t = jnp.take(bucket_rows, bidx_r, axis=0).T
+            prow_t = jnp.take(
+                jnp.concatenate(
+                    [p_i_c, body_cov_c.reshape(-1, 9)], axis=1
+                ),
+                rows.pidx, axis=0,
+            ).T
             out69 = ir.moments_call(
-                par,
-                jnp.take(p_i_c.T, rows.pidx, axis=1),
-                jnp.take(body_cov_c.reshape(-1, 9).T, rows.pidx, axis=1),
-                jnp.take(rots.reshape(nb_, 9).T, bidx_r, axis=1),
-                jnp.take(poss.T, bidx_r, axis=1),
-                jnp.take(rcov.reshape(nb_, 9).T, bidx_r, axis=1),
-                jnp.take(pcov.reshape(nb_, 9).T, bidx_r, axis=1),
+                par, prow_t, brow_t,
                 rows.keys.T.astype(dtype),
                 sizes[rows.lvl][None, :],
                 interpret=jax.default_backend() == "cpu",

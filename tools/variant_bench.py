@@ -49,7 +49,9 @@ def main() -> None:
 
     def build(bucket_ms=4.0, nb=28, p=256, probe=4, insert_rounds=1,
               row_cap=4096, refit_budget=1024, caps=3584, use_pallas=True,
-              use_pallas_match=True, pipeline="deferred", reuse_probe=True,
+              use_pallas_match=True, use_pallas_insert=True,
+              use_pallas_pose=True, use_pallas_refit=True,
+              pipeline="deferred", reuse_probe=True,
               kin=False):
         cfg = Config()
         cfg.only_imu_use = not kin
@@ -66,13 +68,18 @@ def main() -> None:
         cfg.voxel_map.refit_budget = refit_budget
         cfg.voxel_map.probe_length = probe
         scfg = StaticConfig(
-            map_cfg=map_config_from(cfg.voxel_map),
+            map_cfg=map_config_from(
+                cfg.voxel_map,
+                use_pallas_refit=(pipeline == "deferred" and use_pallas_refit),
+            ),
             use_kin=kin,
             dept_err=cfg.voxel_map.dept_err,
             beam_err=cfg.voxel_map.beam_err,
             pipeline=pipeline,
             use_pallas=(pipeline == "deferred" and use_pallas),
             use_pallas_match=(pipeline == "deferred" and use_pallas_match),
+            use_pallas_insert=(pipeline == "deferred" and use_pallas_insert),
+            use_pallas_pose=(pipeline == "deferred" and use_pallas_pose),
             insert_cap=caps if pipeline == "deferred" else 0,
             match_cap=caps if pipeline == "deferred" else 0,
             insert_reuse_probe=reuse_probe,
@@ -124,6 +131,10 @@ def main() -> None:
         "2ms": dict(bucket_ms=2.0, nb=56, p=128),
         "nopallas_chain": dict(use_pallas=False),
         "nopallas_match": dict(use_pallas_match=False),
+        "nopallas_insert": dict(use_pallas_insert=False),
+        "nopallas_pose": dict(use_pallas_pose=False),
+        "nopallas_refit": dict(use_pallas_refit=False),
+        "r4_config": dict(use_pallas_insert=False, use_pallas_pose=False),
         "rounds6": dict(insert_rounds=6),
         "nocaps": dict(caps=0, row_cap=0),
         "refit2048": dict(refit_budget=2048),
