@@ -350,17 +350,17 @@ def _match_compact_stats_pallas(carry, packet, params, scfg, cap, poses=None):
     match = (k_at[..., 3] > 0) & jnp.all(
         k_at[..., 0:3] == keys_cmp[:, :, None, :], axis=-1
     )
-    found = jnp.any(match, axis=-1)                        # [2L, cap]
-    first = jnp.argmax(match, axis=-1)
-    slot = jnp.where(
-        found,
-        jnp.take_along_axis(idx, first[:, :, None], axis=-1)[..., 0],
-        miss,
-    )
-    isp = (
-        jnp.take_along_axis(k_at[..., 4], first[:, :, None], axis=-1)[..., 0]
-        > 0
-    ) & found                                              # [2L, cap]
+    # Min-encoded first-match selection (offset<<1 | is_plane): one reduce
+    # recovers the winning offset and its plane flag; the slot is
+    # recomputed arithmetically — no argmax + take_along_axis gathers
+    # (same trick as voxel_map._probe_find).
+    big = 2 * mcfg.probe
+    isp_at = (k_at[..., 4] > 0).astype(jnp.int32)
+    score = jnp.where(match, 2 * offs[None, None, :] + isp_at, big)
+    msel = jnp.min(score, axis=-1)
+    found = msel < big                                     # [2L, cap]
+    slot = jnp.where(found, base + ((h0 + (msel >> 1)) & (C - 1)), miss)
+    isp = ((msel & 1) == 1) & found                        # [2L, cap]
 
     plane_at = carry.vm.plane.reshape(miss, -1).at[slot].get(
         mode="fill", fill_value=0.0

@@ -349,21 +349,23 @@ def _probe_find(
     rows = ptab[idx]                                    # [N, probe, PTAB_DIM]
     occ_at = rows[..., _T_OCC] > 0
     match = occ_at & jnp.all(rows[..., 0:3] == keys[:, None, :], axis=-1)
-    found = jnp.any(match, axis=-1)
-    first_match = jnp.argmax(match, axis=-1)            # first True
-    slot = jnp.where(
-        found, jnp.take_along_axis(idx, first_match[:, None], axis=-1)[:, 0], C
-    )
-    isp = (
-        jnp.take_along_axis(rows[..., _T_PLANE], first_match[:, None], axis=-1)[:, 0]
-        > 0
-    ) & found
+    # First match via a min-encoded score (offset<<1 | is_plane) instead
+    # of argmax + two take_along_axis gathers: one reduce recovers the
+    # winning offset AND its plane flag, and the slot is recomputed from
+    # the offset arithmetically.  Probed keys are unique within a chain,
+    # so the lowest-offset match is THE match.
+    big = 2 * cfg.probe
+    isp_at = (rows[..., _T_PLANE] > 0).astype(jnp.int32)
+    score = jnp.where(match, 2 * offs[None, :] + isp_at, big)
+    m = jnp.min(score, axis=-1)
+    found = m < big
+    slot = jnp.where(found, (h0 + (m >> 1)) & (C - 1), C)
+    isp = ((m & 1) == 1) & found
     is_empty = ~occ_at
-    has_empty = jnp.any(is_empty, axis=-1)
-    first_empty = jnp.argmax(is_empty, axis=-1)
-    empty = jnp.where(
-        has_empty, jnp.take_along_axis(idx, first_empty[:, None], axis=-1)[:, 0], C
-    )
+    escore = jnp.where(is_empty, offs[None, :], cfg.probe)
+    em = jnp.min(escore, axis=-1)
+    has_empty = em < cfg.probe
+    empty = jnp.where(has_empty, (h0 + em) & (C - 1), C)
     return slot, found, empty, has_empty, isp
 
 
@@ -386,21 +388,19 @@ def _probe_find_flat(
     rows = ptab_flat[idx]                               # [M, probe, PTAB_DIM]
     occ_at = rows[..., _T_OCC] > 0
     match = occ_at & jnp.all(rows[..., 0:3] == keys[:, None, :], axis=-1)
-    found = jnp.any(match, axis=-1)
-    first_match = jnp.argmax(match, axis=-1)
-    slot = jnp.where(
-        found, jnp.take_along_axis(idx, first_match[:, None], axis=-1)[:, 0], miss
-    )
-    isp = (
-        jnp.take_along_axis(rows[..., _T_PLANE], first_match[:, None], axis=-1)[:, 0]
-        > 0
-    ) & found
+    # Min-encoded first-match selection (see _probe_find).
+    big = 2 * cfg.probe
+    isp_at = (rows[..., _T_PLANE] > 0).astype(jnp.int32)
+    score = jnp.where(match, 2 * offs[None, :] + isp_at, big)
+    m = jnp.min(score, axis=-1)
+    found = m < big
+    slot = jnp.where(found, base + ((h0 + (m >> 1)) & (C - 1)), miss)
+    isp = ((m & 1) == 1) & found
     is_empty = ~occ_at
-    has_empty = jnp.any(is_empty, axis=-1)
-    first_empty = jnp.argmax(is_empty, axis=-1)
-    empty = jnp.where(
-        has_empty, jnp.take_along_axis(idx, first_empty[:, None], axis=-1)[:, 0], miss
-    )
+    escore = jnp.where(is_empty, offs[None, :], cfg.probe)
+    em = jnp.min(escore, axis=-1)
+    has_empty = em < cfg.probe
+    empty = jnp.where(has_empty, base + ((h0 + em) & (C - 1)), miss)
     return slot, found, empty, has_empty, isp
 
 

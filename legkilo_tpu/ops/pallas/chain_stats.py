@@ -546,9 +546,15 @@ def run_chain_stats(
         packet.imu_mask.reshape(nb, 1, kmax).astype(f32),
         packet.imu_acc.astype(f32),
         packet.imu_gyr.astype(f32),
-        packet.foot_pos.reshape(nb, kmax, 12).astype(f32),
-        packet.foot_vel.reshape(nb, kmax, 12).astype(f32),
-        packet.contact.astype(f32),
+        # IMU-only mode never reads the kin inputs (use_kin is a trace-time
+        # switch in the kernel body): pass constant zeros so the packet's
+        # foot/contact fields don't pay per-scan layout-conversion copies.
+        packet.foot_pos.reshape(nb, kmax, 12).astype(f32) if use_kin
+        else jnp.zeros((nb, kmax, 12), f32),
+        packet.foot_vel.reshape(nb, kmax, 12).astype(f32) if use_kin
+        else jnp.zeros((nb, kmax, 12), f32),
+        packet.contact.astype(f32) if use_kin
+        else jnp.zeros((nb, kmax, 4), f32),
         s40.astype(f32),
         interpret=interpret, use_kin=use_kin,
     )
