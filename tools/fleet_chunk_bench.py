@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--chunks", default="1,4,8")
     ap.add_argument("--windows", type=int, default=3,
                     help="timed chunk dispatches per row")
+    ap.add_argument("--pallas", type=int, default=0,
+                    help="enable the Pallas chain/match/insert/pose kernels "
+                         "inside the vmapped fleet step")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +73,12 @@ def main() -> None:
     cfg.voxel_map.refit_budget = 1024
     cfg.voxel_map.probe_length = 4
     cfg.voxel_map.insert_rounds = 1
+    if args.pallas:
+        cfg.tpu.use_pallas = True
+        cfg.tpu.use_pallas_match = True
+        cfg.tpu.use_pallas_insert = True
+        cfg.tpu.use_pallas_pose = True
+        cfg.tpu.use_pallas_refit = True
     scfg = make_static_config(cfg)
     params = FilterParams(
         noise=eskf_mod.make_noise_params(cfg.eskf),
@@ -140,7 +149,7 @@ def main() -> None:
             rows.append({"K": K, "B": B, "error": type(exc).__name__})
 
     print(json.dumps({
-        "B": B, "storage": args.storage,
+        "B": B, "storage": args.storage, "pallas": args.pallas,
         "capacity_log2": args.capacity_log2, "rows": rows,
     }))
 
