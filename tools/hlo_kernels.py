@@ -148,8 +148,11 @@ def main() -> None:
     )
 
     if args.phase in ("all", "full"):
+        # donate the carry like the production runner does — without it the
+        # census counts input->output copies of the map tables that the
+        # real program never executes.
         report("full step", fd.process_scan_deferred, carry, pkt, params, scfg,
-               static_argnums=3)
+               static_argnums=3, donate_argnums=0)
     if args.phase in ("all", "match"):
         report(
             "match+stats",
