@@ -149,6 +149,10 @@ def cmd_sim(args: argparse.Namespace) -> int:
         cfg.tpu.pipeline = args.pipeline
     if args.pallas:
         cfg.tpu.use_pallas = True
+        cfg.tpu.use_pallas_match = True
+        cfg.tpu.use_pallas_insert = True
+        cfg.tpu.use_pallas_pose = True
+        cfg.tpu.use_pallas_refit = True
     data = sim_mod.simulate(
         sim_mod.SimConfig(duration=args.duration, scan_points=args.scan_points)
     )
@@ -560,6 +564,7 @@ def cmd_sweep(args: argparse.Namespace) -> int:
         cfg.tpu.use_pallas_match = True
         cfg.tpu.use_pallas_insert = True
         cfg.tpu.use_pallas_pose = True
+        cfg.tpu.use_pallas_refit = True
     from .runner import make_static_config
 
     scfg = make_static_config(cfg, use_kin=False)
