@@ -42,6 +42,9 @@ def main() -> None:
                     help="tpu = run on the real chip (f32 only; the "
                          "asymmetry probe reads P back every --every scans)")
     ap.add_argument("--json_out", default="")
+    ap.add_argument("--pallas", action="store_true",
+                    help="enable the full round-5 Pallas kernel set "
+                         "(deferred pipeline only)")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +90,16 @@ def main() -> None:
     cfg.tpu.pipeline = args.pipeline
     cfg.tpu.pipeline_depth = 0
     cfg.tpu.symmetrize_cov = bool(args.symmetrize)
+    if args.pallas:
+        assert args.pipeline == "deferred"
+        cfg.tpu.use_pallas = True
+        cfg.tpu.use_pallas_match = True
+        cfg.tpu.use_pallas_insert = True
+        cfg.tpu.use_pallas_pose = True
+        cfg.tpu.use_pallas_refit = True
+        cfg.tpu.match_cap = 2560
+        cfg.tpu.insert_cap = 2560
+        cfg.voxel_map.insert_row_cap = 2560
 
     runner = OdometryRunner(cfg, dtype=dtype)
     events = data.imu if args.mode == "imu" else data.kin
