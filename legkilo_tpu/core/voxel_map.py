@@ -699,11 +699,6 @@ def insert_points_hinted(
     cap = cfg.insert_new_cap
     ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
 
-    keys = own_keys.reshape(L * N, 3)
-    lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
-    mask_f = jnp.tile(mask, L)
-    found_f = own_found.reshape(L * N) & mask_f
-
     if cfg.insert_row_cap and own_plane is not None:
         rows = gated_insert_rows(
             cfg, mask, own_keys, own_slot, own_found, own_plane
@@ -719,6 +714,10 @@ def insert_points_hinted(
             ),
         )
 
+    keys = own_keys.reshape(L * N, 3)
+    lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
+    mask_f = jnp.tile(mask, L)
+    found_f = own_found.reshape(L * N) & mask_f
     slot0 = jnp.where(found_f, own_slot.reshape(L * N), miss)
     need = mask_f & ~found_f
     n_new = jnp.sum(need.astype(jnp.int32))

@@ -154,3 +154,42 @@ def test_tpu_toggles_reproduce_repo_trajectory(short_sim):
     rmse = float(np.sqrt((d ** 2).mean()))
     assert rmse < 0.01, f"emulator(tpu-all) vs repo rmse {rmse:.4f} m"
     assert d.max() < 0.03, f"max divergence {d.max():.4f} m"
+
+
+def test_tpu_toggles_reproduce_deferred_pallas_trajectory(short_sim):
+    """Same toggle-parity seal against the SHIPPING fast path: deferred
+    pipeline with the full round-5 Pallas kernel set (chain, match,
+    insert-moments, pose, refit).  The deferred pipeline adds the
+    predicted-pose match deviation on top of the emulator's tpu-side
+    toggles (docs/PARITY.md), so the budget is slightly wider than the
+    sequential arm's."""
+    cfg = _cfg(True)
+    cfg.tpu.pipeline = "deferred"
+    cfg.tpu.use_pallas = True
+    cfg.tpu.use_pallas_match = True
+    cfg.tpu.use_pallas_insert = True
+    cfg.tpu.use_pallas_pose = True
+    cfg.tpu.use_pallas_refit = True
+    cfg.tpu.match_cap = 2560
+    cfg.tpu.insert_cap = 2560
+    cfg.voxel_map.insert_row_cap = 2560
+    results = run_offline(cfg, short_sim.scans, short_sim.imu)
+    rt = np.array([r.time for r in results])
+    rp = np.stack([r.pos for r in results])
+
+    p = EmuParams.from_config(cfg)
+    p.point_update = "information"
+    p.neighbor_retry = "fixed"
+    p.insert_timing = "scan_end"
+    p.requantize_after_downsample = True
+    p.init_imu_a_from_grav = True
+    times, rots, poss, _ = run_emulator(short_sim.scans, short_sim.imu, p)
+
+    rm = {round(t, 6): i for i, t in enumerate(rt)}
+    pairs = [(i, rm[round(t, 6)]) for i, t in enumerate(times)
+             if round(t, 6) in rm]
+    assert len(pairs) >= 30
+    d = np.array([np.linalg.norm(poss[i] - rp[j]) for i, j in pairs])
+    rmse = float(np.sqrt((d ** 2).mean()))
+    assert rmse < 0.02, f"emulator(tpu-all) vs deferred+pallas rmse {rmse:.4f} m"
+    assert d.max() < 0.05, f"max divergence {d.max():.4f} m"
