@@ -197,8 +197,13 @@ def main() -> None:
     # then reaches the pinned step in auto layout and the strict
     # per-call check raises (this silently killed the round-4 extras).
     def _fmt(x):
+        # Narrow tables (ptab/meta — trailing dim < 8) stay on compiler
+        # default layouts: auto-layout disagrees with row-major there and
+        # the pin either converts per scan or trips the strict check
+        # (docs/PERF_NOTES.md "Layout pinning").  Tables are 2-D flat
+        # since round 5.
         if jnp.issubdtype(x.dtype, jnp.integer) or (
-            x.ndim == 3 and x.shape[-1] < 8
+            x.ndim >= 2 and x.shape[-1] < 8
         ):
             return SingleDeviceSharding(dev)
         return Format(

@@ -131,7 +131,15 @@ def map_config_from(cfg, use_pallas_refit: bool = False) -> MapConfig:
 
 
 class VoxelMap(NamedTuple):
-    """All map state, [levels, capacity, ...] device arrays.
+    """All map state, FLAT [levels * capacity, ...] device arrays (global
+    slot index = level * capacity + local slot).
+
+    The tables were [L, C, W] through round 4; every hot-path access
+    reshaped them to [L*C, W], and XLA's level-minor layout choice for
+    the 3-D parameters turned each of those reshapes into per-level
+    async slice+concat copies (~34 slice-start pairs in the compiled
+    step — round-5 census).  Storing flat removes the reshapes and the
+    copies; the level structure is pure index arithmetic.
 
     ``mom`` holds the geometry moments m1/m2 (always compute dtype: the
     plane fit subtracts m2/n - c c^T, a cancellation that reduced
@@ -139,11 +147,11 @@ class VoxelMap(NamedTuple):
     S0/S1/S2 and may be stored narrow (MapConfig.storage_dtype) — they
     only feed plane_var, where percent-level error is benign."""
 
-    ptab: jnp.ndarray   # [L, C, PTAB_DIM] int32 probe rows (key, occ, is_plane)
-    meta: jnp.ndarray   # [L, C, META_DIM]
-    mom: jnp.ndarray    # [L, C, MOM12_DIM] m1(3) m2(6), compute dtype
-    moms: jnp.ndarray   # [L, C, MOMS_DIM] s0(6) s1(18) s2(36), storage dtype
-    plane: jnp.ndarray  # [L, C, PLANE_DIM] storage dtype
+    ptab: jnp.ndarray   # [L*C, PTAB_DIM] int32 probe rows (key, occ, is_plane)
+    meta: jnp.ndarray   # [L*C, META_DIM]
+    mom: jnp.ndarray    # [L*C, MOM12_DIM] m1(3) m2(6), compute dtype
+    moms: jnp.ndarray   # [L*C, MOMS_DIM] s0(6) s1(18) s2(36), storage dtype
+    plane: jnp.ndarray  # [L*C, PLANE_DIM] storage dtype
     # [3] int32 cumulative overflow counters — indexed by OCNT_ROWCAP
     # (insert rows dropped by insert_row_cap), OCNT_REFIT (refits deferred
     # past refit_budget; these retry on a later scan — deferral, not loss),
@@ -290,14 +298,14 @@ def storage_dtype_of(cfg: MapConfig, compute_dtype=jnp.float32):
 
 
 def make_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelMap:
-    L, C = cfg.levels, cfg.capacity
+    lc = cfg.levels * cfg.capacity
     sd = storage_dtype_of(cfg, dtype)
     return VoxelMap(
-        ptab=jnp.zeros((L, C, PTAB_DIM), dtype=jnp.int32),
-        meta=jnp.zeros((L, C, META_DIM), dtype=dtype),
-        mom=jnp.zeros((L, C, MOM12_DIM), dtype=dtype),
-        moms=jnp.zeros((L, C, MOMS_DIM), dtype=sd),
-        plane=jnp.zeros((L, C, PLANE_DIM), dtype=sd),
+        ptab=jnp.zeros((lc, PTAB_DIM), dtype=jnp.int32),
+        meta=jnp.zeros((lc, META_DIM), dtype=dtype),
+        mom=jnp.zeros((lc, MOM12_DIM), dtype=dtype),
+        moms=jnp.zeros((lc, MOMS_DIM), dtype=sd),
+        plane=jnp.zeros((lc, PLANE_DIM), dtype=sd),
         ocnt=jnp.zeros((3,), dtype=jnp.int32),
     )
 
@@ -509,7 +517,7 @@ def insert_points(
     lvl_ids = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
     mask_f = jnp.tile(mask, L)
 
-    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
+    ptab_flat = vm.ptab
     ptab_flat, slot, ok = _find_or_insert_flat(
         ptab_flat, keys, lvl_ids, mask_f, cfg
     )
@@ -640,8 +648,7 @@ def insert_packed_rows_hinted(
     precomputed (one Pallas launch, ops/pallas/insert_rows.py) instead of
     rebuilt from (p_w, var) in XLA.  Identical semantics; equivalence:
     tests/test_insert_rows_pallas.py."""
-    ptab_flat = vm.ptab.reshape(cfg.levels * cfg.capacity, PTAB_DIM)
-    ptab_flat, slot, ok = resolve_insert_rows(ptab_flat, cfg, rows)
+    ptab_flat, slot, ok = resolve_insert_rows(vm.ptab, cfg, rows)
     return _insert_finish(
         vm, cfg, ptab_flat, None, None, rows.keys, rows.lvl, slot, ok,
         ocnt_inc=_ocnt_inc(
@@ -697,7 +704,7 @@ def insert_points_hinted(
     L, C, N = cfg.levels, cfg.capacity, p_w.shape[0]
     miss = L * C
     cap = cfg.insert_new_cap
-    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
+    ptab_flat = vm.ptab
 
     if cfg.insert_row_cap and own_plane is not None:
         rows = gated_insert_rows(
@@ -773,10 +780,10 @@ def _insert_finish(
     R = keys.shape[0]
     miss = L * C
 
-    meta_flat = vm.meta.reshape(miss, META_DIM)
-    mom_flat = vm.mom.reshape(miss, MOM12_DIM)
-    moms_flat = vm.moms.reshape(miss, MOMS_DIM)
-    plane_flat = vm.plane.reshape(miss, PLANE_DIM)
+    meta_flat = vm.meta
+    mom_flat = vm.mom
+    moms_flat = vm.moms
+    plane_flat = vm.plane
     # Contribution gating: frozen slots (n >= max_points_num) stop
     # accumulating (update_enable_, voxel_map.cc:199-204).
     meta_at = meta_flat.at[slot].get(mode="fill", fill_value=0.0)
@@ -903,11 +910,11 @@ def _insert_finish(
     if ocnt_inc is not None:
         inc = inc + ocnt_inc
     return vm._replace(
-        ptab=ptab_flat.reshape(L, C, PTAB_DIM),
-        meta=meta_flat.reshape(L, C, META_DIM),
-        mom=mom_flat.reshape(L, C, MOM12_DIM),
-        moms=moms_flat.reshape(L, C, MOMS_DIM),
-        plane=plane_flat.reshape(L, C, PLANE_DIM),
+        ptab=ptab_flat,
+        meta=meta_flat,
+        mom=mom_flat,
+        moms=moms_flat,
+        plane=plane_flat,
         ocnt=vm.ocnt + inc,
     )
 
@@ -950,10 +957,9 @@ def match_points(
     keys_f = jnp.concatenate(keys_all, axis=0)           # [2L*N, 3]
     lvl_f = jnp.concatenate(lvl_all, axis=0)
 
-    ptab_flat = vm.ptab.reshape(miss, PTAB_DIM)
-    slot, found, _, _, is_plane = _probe_find_flat(ptab_flat, keys_f, lvl_f, cfg)
+    slot, found, _, _, is_plane = _probe_find_flat(vm.ptab, keys_f, lvl_f, cfg)
 
-    plane_at = vm.plane.reshape(miss, PLANE_DIM).at[slot].get(
+    plane_at = vm.plane.at[slot].get(
         mode="fill", fill_value=0.0
     ).astype(dtype)
 
@@ -1037,14 +1043,22 @@ def slide_map(vm: VoxelMap, cfg: MapConfig, position: jnp.ndarray, half_map_size
     are reused by later inserts.  The distance-threshold trigger lives with
     the caller (filter.py), matching the reference's position_last_ logic.
     """
-    keep = vm.occ
-    for lvl in range(cfg.levels):
-        size = level_size(cfg, lvl)
-        center_key = jnp.floor(position / size).astype(jnp.int32)
-        half = int(half_map_size * (2 ** lvl))
-        delta = vm.key[lvl] - center_key[None, :]
-        inside = jnp.all(jnp.abs(delta) <= half, axis=-1)
-        keep = keep.at[lvl].set(vm.occ[lvl] & inside)
+    C = cfg.capacity
+    center = jnp.stack(
+        [
+            jnp.floor(position / level_size(cfg, lvl)).astype(jnp.int32)
+            for lvl in range(cfg.levels)
+        ]
+    )                                                       # [L, 3]
+    halves = jnp.asarray(
+        [int(half_map_size * (2 ** lvl)) for lvl in range(cfg.levels)],
+        jnp.int32,
+    )
+    center_f = jnp.repeat(center, C, axis=0)                # [L*C, 3]
+    half_f = jnp.repeat(halves, C)                          # [L*C]
+    delta = vm.key - center_f
+    inside = jnp.all(jnp.abs(delta) <= half_f[:, None], axis=-1)
+    keep = vm.occ & inside
     kf = keep.astype(vm.meta.dtype)[..., None]
     ks = keep.astype(vm.moms.dtype)[..., None]
     return vm._replace(

@@ -28,13 +28,15 @@ def extract_planes(vm: VoxelMap, cfg: MapConfig, max_level: Optional[int] = None
     """
     planes = []
     max_level = cfg.levels - 1 if max_level is None else max_level
-    occ = np.asarray(vm.occ)
-    is_plane = np.asarray(vm.is_plane())
-    keys = np.asarray(vm.key)
-    center_rel = np.asarray(vm.center_rel())
-    normal = np.asarray(vm.normal())
-    evals = np.asarray(vm.evals())
-    pvar = np.asarray(vm.plane_var())
+    # Tables are stored flat [L*C, ...]; view per level for the walk.
+    L, C = cfg.levels, cfg.capacity
+    occ = np.asarray(vm.occ).reshape(L, C)
+    is_plane = np.asarray(vm.is_plane()).reshape(L, C)
+    keys = np.asarray(vm.key).reshape(L, C, 3)
+    center_rel = np.asarray(vm.center_rel()).reshape(L, C, 3)
+    normal = np.asarray(vm.normal()).reshape(L, C, 3)
+    evals = np.asarray(vm.evals()).reshape(L, C, 3)
+    pvar = np.asarray(vm.plane_var()).reshape(L, C, 6, 6)
 
     # Ancestor-planar lookup per level.
     planar_keys = [

@@ -78,8 +78,9 @@ def test_nonplanar_regime_exercised_and_tracking_sane(clutter_data):
     runner = _replay(make_cfg("deferred"), clutter_data)
     vm = runner.carry.vm
 
-    init0 = np.asarray(vm.meta[0, :, 2] > 0)
-    plane0 = np.asarray(vm.ptab[0, :, 4] > 0)
+    C = runner.scfg.map_cfg.capacity
+    init0 = np.asarray(vm.meta[:C, 2] > 0)
+    plane0 = np.asarray(vm.ptab[:C, 4] > 0)
     nonplane0 = init0 & ~plane0
     # The whole point of the world: a meaningful population of L0 voxels
     # legitimately fails the plane eigen-gate (box worlds produce 0-1).
@@ -90,10 +91,10 @@ def test_nonplanar_regime_exercised_and_tracking_sane(clutter_data):
 
     # Level descent: inside non-planar L0 parents, L1 children exist and
     # fit planes (cut_octo_tree semantics: subdivide, fit the halves).
-    keys0 = np.asarray(vm.ptab[0, nonplane0, 0:3])           # [M, 3]
-    init1 = np.asarray(vm.meta[1, :, 2] > 0)
-    plane1 = np.asarray(vm.ptab[1, :, 4] > 0)
-    keys1 = np.asarray(vm.ptab[1, init1 & plane1, 0:3])      # [K, 3]
+    keys0 = np.asarray(vm.ptab[:C][nonplane0, 0:3])          # [M, 3]
+    init1 = np.asarray(vm.meta[C : 2 * C, 2] > 0)
+    plane1 = np.asarray(vm.ptab[C : 2 * C, 4] > 0)
+    keys1 = np.asarray(vm.ptab[C : 2 * C][init1 & plane1, 0:3])  # [K, 3]
     parents_of_l1 = np.floor_divide(keys1, 2)
     matched_parents = {
         tuple(k) for k in keys0

@@ -92,7 +92,7 @@ def test_checkpoint_roundtrip(tmp_path):
     carry = init_carry(scfg)
     carry = carry._replace(
         cov=carry.cov + 0.123,
-        vm=carry.vm._replace(meta=carry.vm.meta.at[0, 3, 0].set(7.0)),
+        vm=carry.vm._replace(meta=carry.vm.meta.at[3, 0].set(7.0)),
     )
     path = checkpoint.save(
         str(tmp_path / "ckpt"), carry, step=42,
@@ -102,7 +102,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step == 42
     assert float(extras["g_over_acc_norm"]) == 1.25
     np.testing.assert_allclose(np.asarray(restored.cov), np.asarray(carry.cov))
-    assert float(restored.vm.meta[0, 3, 0]) == 7.0
+    assert float(restored.vm.meta[3, 0]) == 7.0
 
     # Shape mismatch (different config) must be rejected.
     scfg_other = scfg._replace(map_cfg=scfg.map_cfg._replace(capacity=128))

@@ -120,8 +120,9 @@ def test_evicted_space_stays_evicted(runs):
     behind the robot was evicted and never resurrected by hinted inserts."""
     runner, _, p = runs["def_slide"]
     vm = runner.carry.vm
-    occ0 = np.asarray(vm.occ[0])
-    keys0 = np.asarray(vm.key[0])[occ0]                    # [n, 3]
+    C = runner.scfg.map_cfg.capacity
+    occ0 = np.asarray(vm.occ[:C])
+    keys0 = np.asarray(vm.key[:C])[occ0]                   # [n, 3]
     slide_pos = np.asarray(runner.carry.last_slide_pos)
     center = np.floor(slide_pos / VOXEL).astype(np.int32)
     # Post-slide inserts extend up to LiDAR range (18 m = 18 voxels)

@@ -33,8 +33,9 @@ def test_extract_and_write(tmp_path, rng):
     # No level-1 plane may be shadowed by a planar parent.
     l0_keys = {
         tuple(k) for k, o, ip in zip(
-            np.asarray(vm.key[0]), np.asarray(vm.occ[0]),
-            np.asarray(vm.is_plane()[0]),
+            np.asarray(vm.key[:cfg.capacity]),
+            np.asarray(vm.occ[:cfg.capacity]),
+            np.asarray(vm.is_plane()[:cfg.capacity]),
         ) if o and ip
     }
     for p in planes:

@@ -38,7 +38,7 @@ def test_hash_insert_lookup_roundtrip(rng):
     pts = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
     keys = np.floor(pts / cfg.voxel_size).astype(np.int32)
     ptab, slot, ok = vmap._find_or_insert(
-        vm.ptab[0], jnp.asarray(keys), jnp.ones(200, dtype=bool), cfg
+        vm.ptab[: cfg.capacity], jnp.asarray(keys), jnp.ones(200, dtype=bool), cfg
     )
     ok = np.asarray(ok)
     assert ok.all(), f"dropped {200 - ok.sum()} inserts"
@@ -79,26 +79,26 @@ def test_plane_formation_matches_oracle(rng):
         jnp.asarray(var, dtype=jnp.float32),
         jnp.ones(n, dtype=bool),
     )
-    occ = np.asarray(vm2.occ[0])
+    occ = np.asarray(vm2.occ[: cfg.capacity])
     assert occ.sum() >= 1
     keys = np.floor(pts / cfg.voxel_size).astype(np.int32)
     assert (keys == keys[0]).all()
     slot, found, _, _, _ = vmap._probe_find(
-        vm2.ptab[0], jnp.asarray(keys[:1]), cfg
+        vm2.ptab[: cfg.capacity], jnp.asarray(keys[:1]), cfg
     )
     s = int(np.asarray(slot)[0])
     assert bool(np.asarray(found)[0])
-    assert bool(np.asarray(vm2.is_plane()[0])[s])
-    normal = np.asarray(vm2.normal()[0])[s]
+    assert bool(np.asarray(vm2.is_plane())[s])
+    normal = np.asarray(vm2.normal())[s]
     assert abs(abs(normal[2]) - 1.0) < 1e-3
 
     om = oracle.plane_fit(pts, var, 0.01)
     vc = (keys[0] + 0.5) * cfg.voxel_size
     np.testing.assert_allclose(
-        np.asarray(vm2.center_rel()[0])[s] + vc, om["center"], atol=1e-4
+        np.asarray(vm2.center_rel())[s] + vc, om["center"], atol=1e-4
     )
-    np.testing.assert_allclose(np.asarray(vm2.evals()[0])[s], om["evals"], atol=1e-4)
-    pv = np.asarray(vm2.plane_var()[0])[s].astype(np.float64)
+    np.testing.assert_allclose(np.asarray(vm2.evals())[s], om["evals"], atol=1e-4)
+    pv = np.asarray(vm2.plane_var())[s].astype(np.float64)
     sign = np.sign(normal @ om["normal"])
     if sign < 0:
         pv[0:3, 3:6] *= -1
@@ -206,15 +206,15 @@ def test_freeze_stops_accumulation(rng):
         vm, cfg, jnp.asarray(pts, dtype=jnp.float32),
         jnp.asarray(var, dtype=jnp.float32), jnp.ones(60, dtype=bool),
     )
-    n_before = np.asarray(vm.n()[0]).sum()
-    frozen = np.asarray(vm.frozen(cfg.max_points_num)[0])
+    n_before = np.asarray(vm.n()[: cfg.capacity]).sum()
+    frozen = np.asarray(vm.frozen(cfg.max_points_num)[: cfg.capacity])
     assert frozen.any()
     # Insert more points into the same voxel: count must not grow there.
     vm2 = vmap.insert_points(
         vm, cfg, jnp.asarray(pts[:20], dtype=jnp.float32),
         jnp.asarray(var[:20], dtype=jnp.float32), jnp.ones(20, dtype=bool),
     )
-    assert np.asarray(vm2.n()[0])[frozen].sum() == np.asarray(vm.n()[0])[frozen].sum()
+    assert np.asarray(vm2.n()[: cfg.capacity])[frozen].sum() == np.asarray(vm.n()[: cfg.capacity])[frozen].sum()
     assert n_before >= 60  # all points landed pre-freeze
 
 

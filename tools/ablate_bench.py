@@ -97,8 +97,13 @@ def main() -> None:
     carry = init_carry(scfg)
     def _fmt(x):
         # ptab/meta: compiler default layout (see bench.py for why)
+        # Narrow tables (ptab/meta — trailing dim < 8) stay on compiler
+        # default layouts: auto-layout disagrees with row-major there and
+        # the pin either converts per scan or trips the strict check
+        # (docs/PERF_NOTES.md "Layout pinning").  Tables are 2-D flat
+        # since round 5.
         if jnp.issubdtype(x.dtype, jnp.integer) or (
-            x.ndim == 3 and x.shape[-1] < 8
+            x.ndim >= 2 and x.shape[-1] < 8
         ):
             return SingleDeviceSharding(dev)
         return Format(Layout(tuple(range(x.ndim))), SingleDeviceSharding(dev))
