@@ -172,3 +172,22 @@ def test_extreme_iterated_matching_restores_sequential(extreme_data):
         f"deferred/it3 ATE {err_3:.3f} vs sequential {err_s:.3f}"
     )
     assert cross_rmse(t_3, p_3, t_s, p_s) < 2.0 * max(err_s, 0.05)
+
+
+def test_extreme_auto_escalation_with_pallas_kernels(extreme_data):
+    """Auto-escalation on the full round-5 Pallas kernel set: the runner
+    must pre-declare and switch onto the it-N Pallas variant exactly as
+    it does for the XLA lowering (the escalated step is a separately
+    compiled executable either way)."""
+    cfg = make_cfg("deferred", "imu", 1, auto_escalate=True)
+    cfg.tpu.use_pallas = True
+    cfg.tpu.use_pallas_match = True
+    cfg.tpu.use_pallas_insert = True
+    cfg.tpu.use_pallas_pose = True
+    cfg.tpu.match_cap = 2560
+    cfg.tpu.insert_cap = 2560
+    cfg.voxel_map.insert_row_cap = 2560
+    err_auto, _, _ = run_ate(cfg, extreme_data)
+    assert err_auto < 0.5, (
+        f"auto-escalated pallas run diverged: ATE {err_auto:.3f} m"
+    )
