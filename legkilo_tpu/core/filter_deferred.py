@@ -277,6 +277,59 @@ def _pick_block(c: int) -> int:
     return 0
 
 
+def insert_phase_pallas(
+    vm, mcfg, params, bidx, p_i_c, body_cov_c, mask_c,
+    own_keys, own_slot, own_found, own_plane,
+    rots, poss, rot_covs, pos_covs,
+):
+    """The fused pipeline's Pallas insert phase: one launch for the whole
+    per-row moment pipeline — post-update pose transform, covariance
+    propagation, packed moment rows (ops/pallas/insert_rows.py); only
+    gathers/scatters stay in XLA.  Shared by _process_scan_fused and the
+    census tooling (tools/hlo_kernels.py) so the censused lowering cannot
+    drift from production."""
+    from ..ops.pallas import insert_rows as ir
+    from .voxel_map import gated_insert_rows, insert_packed_rows_hinted
+
+    nb = rots.shape[0]
+    dtype = p_i_c.dtype
+    rows = gated_insert_rows(
+        mcfg, mask_c, own_keys, own_slot, own_found, own_plane
+    )
+    bidx_r = jnp.take(jnp.minimum(bidx, nb - 1), rows.pidx)
+    sizes = jnp.asarray(
+        [mcfg.voxel_size / (2.0 ** l) for l in range(mcfg.levels)], dtype
+    )
+    par = jnp.concatenate(
+        [params.ext_r.reshape(9).astype(dtype),
+         jnp.zeros((ir.PAR_W - 9,), dtype)]
+    )[None, :]
+    # ONE row gather of the packed per-bucket chain outputs (rot, pos,
+    # rot_cov, pos_cov — 30 floats) instead of four separate transposed
+    # takes; same for the per-point inputs (p_i + body cov) from the
+    # match phase.
+    bucket_rows = jnp.concatenate(
+        [rots.reshape(nb, 9), poss, rot_covs.reshape(nb, 9),
+         pos_covs.reshape(nb, 9)],
+        axis=1,
+    )                                                      # [nb, 30]
+    brow_t = jnp.take(bucket_rows, bidx_r, axis=0).T       # [30, R]
+    prow_t = jnp.take(
+        jnp.concatenate([p_i_c, body_cov_c.reshape(-1, 9)], axis=1),
+        rows.pidx, axis=0,
+    ).T                                                    # [12, R]
+    out69 = ir.moments_call(
+        par, prow_t, brow_t,
+        rows.keys.T.astype(dtype),
+        sizes[rows.lvl][None, :],
+        interpret=jax.default_backend() == "cpu",
+        block=_pick_block(mcfg.insert_row_cap),
+    )
+    return insert_packed_rows_hinted(
+        vm, mcfg, rows, out69[0:9].T, out69[9:69].T
+    )
+
+
 def _match_compact_stats_pallas(carry, packet, params, scfg, cap, poses=None):
     """_match_compact_stats with the per-point math in two Pallas kernels.
 
@@ -754,49 +807,10 @@ def _process_scan_fused(
         and _pick_block(mcfg.insert_row_cap)
     )
     if use_pallas_insert:
-        # One launch for the whole per-row moment pipeline: post-update
-        # pose transform, covariance propagation, packed moment rows
-        # (ops/pallas/insert_rows.py); only gathers/scatters stay in XLA.
-        from ..ops.pallas import insert_rows as ir
-        from .voxel_map import gated_insert_rows, insert_packed_rows_hinted
-
-        dtype = carry.cov.dtype
-        rows = gated_insert_rows(
-            mcfg, mask_c, own_keys, own_slot, own_found, own_plane
-        )
-        bidx_r = jnp.take(jnp.minimum(bidx, nb - 1), rows.pidx)
-        sizes = jnp.asarray(
-            [mcfg.voxel_size / (2.0 ** l) for l in range(mcfg.levels)], dtype
-        )
-        par = jnp.concatenate(
-            [params.ext_r.reshape(9).astype(dtype),
-             jnp.zeros((ir.PAR_W - 9,), dtype)]
-        )[None, :]
-        # ONE row gather of the packed per-bucket chain outputs (rot, pos,
-        # rot_cov, pos_cov — 30 floats) instead of four separate
-        # transposed takes; same for the per-point inputs (p_i + body
-        # cov) from the match phase.
-        bucket_rows = jnp.concatenate(
-            [rots.reshape(nb, 9), poss, rot_covs.reshape(nb, 9),
-             pos_covs.reshape(nb, 9)],
-            axis=1,
-        )                                                  # [nb, 30]
-        brow_t = jnp.take(bucket_rows, bidx_r, axis=0).T   # [30, R]
-        prow_t = jnp.take(
-            jnp.concatenate(
-                [p_i_c, body_cov_c.reshape(-1, 9)], axis=1
-            ),
-            rows.pidx, axis=0,
-        ).T                                                # [12, R]
-        out69 = ir.moments_call(
-            par, prow_t, brow_t,
-            rows.keys.T.astype(dtype),
-            sizes[rows.lvl][None, :],
-            interpret=jax.default_backend() == "cpu",
-            block=_pick_block(mcfg.insert_row_cap),
-        )
-        vm = insert_packed_rows_hinted(
-            carry.vm, mcfg, rows, out69[0:9].T, out69[9:69].T
+        vm = insert_phase_pallas(
+            carry.vm, mcfg, params, bidx, p_i_c, body_cov_c, mask_c,
+            own_keys, own_slot, own_found, own_plane,
+            rots, poss, rot_covs, pos_covs,
         )
     else:
         bidx_c = jnp.minimum(bidx, nb - 1)

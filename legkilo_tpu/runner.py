@@ -273,6 +273,14 @@ class OdometryRunner:
             ),
             "last_event_time": np.asarray(b._last_event_time),
             "last_scan_time": np.asarray(b._last_scan_time),
+            # Auto-escalation state: escalation is STICKY by design (see
+            # TpuConfig — releasing it lets drift re-accrue on a corrupted
+            # map), so a resumed run must come back escalated, with its
+            # warm-up and streak counters intact.
+            "esc_active": np.asarray(int(self._esc_active)),
+            "esc_latched": np.asarray(int(self._esc_latched)),
+            "esc_streak": np.asarray(int(self._esc_streak)),
+            "n_done": np.asarray(int(self._n_done)),
         }
         if b._events:
             evs = b._events
@@ -329,6 +337,13 @@ class OdometryRunner:
                     ))
         b._events = events
         b._last_event_time = float(extras["last_event_time"])
+        if "esc_active" in extras:
+            self._esc_active = bool(int(extras["esc_active"]))
+            self._esc_latched = bool(int(extras["esc_latched"]))
+            self._esc_streak = int(extras["esc_streak"])
+            self._n_done = int(extras["n_done"])
+            if self._esc_active and self._esc_enabled:
+                self._scfg_active = self._scfg_esc
         return step or 0
 
     def _events_from_packet(self, pkt: HostPacket):

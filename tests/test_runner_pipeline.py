@@ -78,3 +78,38 @@ def test_chunked_run_offline_matches_streaming():
         np.testing.assert_array_equal(a.pos, b.pos)
         np.testing.assert_array_equal(a.rot, b.rot)
         assert a.n_matched == b.n_matched
+
+
+def test_checkpoint_preserves_escalation_state(tmp_path):
+    """Escalation is sticky by design (de-escalating on a corrupted map
+    re-accrues drift — config.py rationale); a checkpoint/resume cycle
+    must come back escalated with its counters intact."""
+    from legkilo_tpu.runner import OdometryRunner
+
+    cfg = _cfg(0)
+    cfg.tpu.pipeline = "deferred"
+    data = sim.simulate(sim.SimConfig(duration=1.0, scan_points=1200, seed=4))
+    runner = OdometryRunner(cfg)
+    ev = iter(sorted(data.imu, key=lambda e: e.time))
+    pending = next(ev, None)
+    for scan in data.scans[:5]:
+        while pending is not None and pending.time <= scan.end_time + 0.5:
+            runner.add_imu(pending)
+            pending = next(ev, None)
+        runner.add_scan(scan)
+    runner.flush()
+
+    # Force the escalated regime as the collapse detector would.
+    assert runner._esc_enabled
+    runner._esc_active = True
+    runner._esc_latched = True
+    runner._esc_streak = 2
+    runner._scfg_active = runner._scfg_esc
+    path = runner.save_checkpoint(str(tmp_path / "esc_ckpt"))
+
+    fresh = OdometryRunner(cfg)
+    fresh.load_checkpoint(path)
+    assert fresh._esc_active and fresh._esc_latched
+    assert fresh._esc_streak == 2
+    assert fresh._n_done == runner._n_done
+    assert fresh._scfg_active.match_iters == runner._scfg_esc.match_iters

@@ -81,6 +81,7 @@ def main() -> None:
         cfg.tpu.use_pallas = True
         cfg.tpu.use_pallas_match = True
         cfg.tpu.use_pallas_insert = True
+        cfg.tpu.use_pallas_pose = True
         cfg.tpu.use_pallas_refit = True
     scfg = make_static_config(cfg)
     params = FilterParams(

@@ -160,10 +160,7 @@ def main() -> None:
             carry, pkt,
         )
     if args.phase in ("all", "insert"):
-        from legkilo_tpu.core.voxel_map import (
-            gated_insert_rows, insert_packed_rows_hinted, insert_points_hinted,
-        )
-        from legkilo_tpu.ops.pallas import insert_rows as ir
+        from legkilo_tpu.core.voxel_map import insert_points_hinted
 
         s40, nmatch_b, aux = jax.jit(
             lambda c, p: match_fn(c, p, params, scfg, cap)
@@ -199,37 +196,11 @@ def main() -> None:
         def insert_phase_pallas(vm, bidx, p_i_c, body_cov_c, mask_c,
                                 rots, poss, rcov, pcov,
                                 own_keys, own_slot, own_found, own_plane):
-            rows = gated_insert_rows(
-                mcfg, mask_c, own_keys, own_slot, own_found, own_plane
-            )
-            bidx_r = jnp.take(jnp.minimum(bidx, nb_ - 1), rows.pidx)
-            sizes = jnp.asarray(
-                [mcfg.voxel_size / (2.0 ** l) for l in range(mcfg.levels)], dtype
-            )
-            par = jnp.concatenate(
-                [params.ext_r.reshape(9).astype(dtype),
-                 jnp.zeros((ir.PAR_W - 9,), dtype)]
-            )[None, :]
-            bucket_rows = jnp.concatenate(
-                [rots.reshape(nb_, 9), poss, rcov.reshape(nb_, 9),
-                 pcov.reshape(nb_, 9)], axis=1,
-            )
-            brow_t = jnp.take(bucket_rows, bidx_r, axis=0).T
-            prow_t = jnp.take(
-                jnp.concatenate(
-                    [p_i_c, body_cov_c.reshape(-1, 9)], axis=1
-                ),
-                rows.pidx, axis=0,
-            ).T
-            out69 = ir.moments_call(
-                par, prow_t, brow_t,
-                rows.keys.T.astype(dtype),
-                sizes[rows.lvl][None, :],
-                interpret=jax.default_backend() == "cpu",
-                block=512,
-            )
-            return insert_packed_rows_hinted(
-                vm, mcfg, rows, out69[0:9].T, out69[9:69].T
+            # The exact production lowering (shared helper — no copy drift).
+            return fd.insert_phase_pallas(
+                vm, mcfg, params, bidx, p_i_c, body_cov_c, mask_c,
+                own_keys, own_slot, own_found, own_plane,
+                rots, poss, rcov, pcov,
             )
 
         if use_pallas_insert and mcfg.insert_row_cap:

@@ -122,7 +122,7 @@ def main() -> None:
         h0 = idx0_t & (C - 1)
         base = idx0_t - h0
         idx = base[:, :, None] + ((h0[:, :, None] + offs[None, None, :]) & (C - 1))
-        k_at = vm.ptab.reshape(miss, 5)[idx]
+        k_at = vm.ptab[idx]
         keys_cmp = keys_t.reshape(2 * L, 3, cap).transpose(0, 2, 1)
         match = (k_at[..., 3] > 0) & jnp.all(
             k_at[..., 0:3] == keys_cmp[:, :, None, :], axis=-1
@@ -141,9 +141,10 @@ def main() -> None:
 
     # ---- stage 4: meta/plane gathers ---------------------------------------
     def stage4(vm, slot, found):
-        meta_at = vm.meta.reshape(miss, -1).at[slot].get(mode="fill", fill_value=0.0)
-        isp = meta_at[..., 4] > 0.5
-        plane_at = vm.plane.reshape(miss, -1).at[slot].get(mode="fill", fill_value=0.0)
+        # is_plane rides in the meta row's LAST column (_M_PLANE = 3).
+        meta_at = vm.meta.at[slot].get(mode="fill", fill_value=0.0)
+        isp = meta_at[..., 3] > 0.5
+        plane_at = vm.plane.at[slot].get(mode="fill", fill_value=0.0)
         plane_t = plane_at.transpose(0, 2, 1).reshape(2 * L * 31, cap)
         flags_t = jnp.concatenate([found.astype(dtype), isp.astype(dtype)], axis=0)
         return plane_t, flags_t
@@ -164,17 +165,14 @@ def main() -> None:
                               interpret=False, block=block)
 
     j5 = jax.jit(stage5)
-    out, s40_flat = j5(piw_t, covs_t, vc_t, plane_t, flags_t, mask_c, bidx)
+    out, s40_flat, nm = j5(piw_t, covs_t, vc_t, plane_t, flags_t, mask_c, bidx)
 
-    # ---- stage 6: nmatch reduction -----------------------------------------
-    def stage6(out, bidx):
-        matched_f = out[0]
-        onehot = (bidx[None, :] == jnp.arange(nb, dtype=bidx.dtype)[:, None]).astype(dtype)
-        nmatch_b = jnp.einsum("bc,c->b", onehot, matched_f).astype(jnp.int32)
-        return nmatch_b
+    # ---- stage 6: nmatch extraction (kernel-computed since round 5) --------
+    def stage6(nm):
+        return nm[:, 0].astype(jnp.int32)
 
     j6 = jax.jit(stage6)
-    nmb = j6(out, bidx)
+    nmb = j6(nm)
 
     def timeit(label, fn, *a, reps=50):
         outs = fn(*a)
@@ -191,7 +189,7 @@ def main() -> None:
     timeit("3 probe gathers", j3, carry.vm, keys_t, idx0_t)
     timeit("4 meta/plane gathers", j4, carry.vm, slot, found)
     timeit("5 select kernel", j5, piw_t, covs_t, vc_t, plane_t, flags_t, mask_c, bidx)
-    timeit("6 nmatch", j6, out, bidx)
+    timeit("6 nmatch", j6, nm)
 
 
 if __name__ == "__main__":
